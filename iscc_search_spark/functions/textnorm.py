@@ -1,0 +1,84 @@
+"""Text extraction + normalization + tokenization.
+
+The tokenizer spec is frozen (FIXTURES.md §7) and shared by three
+implementations that must agree token-for-token:
+
+1. ``tokens_expr`` — Spark Column expression (JVM-side, whole-stage codegen;
+   the hot path — faster than any UDF and what the 100 TB build uses),
+2. ``tokenize_py`` — plain Python (used by the single-node oracle),
+3. the DuckDB oracle SQL in ``__spark_entry__.py``.
+
+Spec: NFC normalize -> lowercase -> split on ``[^0-9a-z]+`` -> drop empties.
+NFC is the identity on ASCII; the engine applies it in the (vectorized,
+Arrow-batched) extraction UDF so the JVM tokenizer itself never sees
+non-normalized text.
+
+Mirrors the reference's normalize-at-the-boundary discipline
+(iscc_search/indexes/common.py:275-330 normalize_query: the same
+normalization is applied to ingest and query sides).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_SPLIT_RE = "[^0-9a-z]+"
+_PY_SPLIT = re.compile(TOKEN_SPLIT_RE)
+
+# --- html extraction -------------------------------------------------------
+# The synthetic corpus wraps text as b"<html><body>" + utf8(text) +
+# b"</body></html>" (FIXTURES.md §1).  Extraction must reproduce `text`
+# byte-identically per url (BASELINE.json input_hint invariant).  A real
+# deployment swaps `_extract_py` for a proper boilerplate remover; the Spark
+# plumbing (binary column in, string out, Arrow batches) stays the same.
+
+_HTML_PREFIX = b"<html><body>"
+_HTML_SUFFIX = b"</body></html>"
+
+
+def _extract_one(html: bytes | None) -> str | None:
+    if html is None:
+        return None
+    body = html
+    if body.startswith(_HTML_PREFIX):
+        body = body[len(_HTML_PREFIX) :]
+    if body.endswith(_HTML_SUFFIX):
+        body = body[: -len(_HTML_SUFFIX)]
+    return unicodedata.normalize("NFC", body.decode("utf-8", errors="replace"))
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) html -> text extraction."""
+    return html.map(_extract_one)
+
+
+# --- tokenization ----------------------------------------------------------
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Tokenize a (already NFC-normalized) string column, JVM-side.
+
+    Returns array<string> of non-empty tokens.  Stays inside whole-stage
+    codegen — no Python boundary on the 100 TB hot path.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    arr = F.split(F.lower(col), TOKEN_SPLIT_RE)
+    return F.filter(arr, lambda x: x != F.lit(""))
+
+
+def doc_len_expr(text: Column | str) -> Column:
+    """Token count of a document (BM25 length normalization), JVM-side."""
+    return F.size(tokens_expr(text)).cast("long")
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Single-node reference tokenizer — must agree with tokens_expr."""
+    norm = unicodedata.normalize("NFC", text).lower()
+    return [t for t in _PY_SPLIT.split(norm) if t]
