@@ -1,0 +1,73 @@
+"""Index directory layout — parquet-backed tables.
+
+Production target is Iceberg (snapshot-isolated commits per partition write,
+replacing the reference's LMDB write txn, SURVEY.md §3.3); this image has no
+Iceberg runtime jar, so tables are plain parquet directories with the same
+logical layout.  The architecture keeps the reference's consistency model
+(docs/explanation/architecture.md:117-118): ``segments`` is the rebuildable
+source-of-truth, everything else is derived and re-creatable from it.
+
+    <index_dir>/
+      segments/part=N/        (doc_id, term, tf)         source of truth
+      docs/part=N/            (doc_id, url, doc_len, simhash, lang) sidecar
+      postings/shard=S/bucket=B/  compressed posting blocks
+      term_stats/bucket=B/    (term, df, max_tfnorm)     global exact stats
+      meta.json               (n_docs, avgdl, config, lineage)
+      _checkpoints/           per-input-partition fingerprints (resumability)
+      _metrics/               build lineage + throughput rows
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class IndexCatalog:
+    def __init__(self, index_dir: str):
+        self.root = index_dir
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    @property
+    def segments(self) -> str:
+        return self.path("segments")
+
+    @property
+    def docs(self) -> str:
+        return self.path("docs")
+
+    @property
+    def postings(self) -> str:
+        return self.path("postings")
+
+    @property
+    def term_stats(self) -> str:
+        return self.path("term_stats")
+
+    @property
+    def checkpoints(self) -> str:
+        return self.path("_checkpoints")
+
+    @property
+    def metrics(self) -> str:
+        return self.path("_metrics")
+
+    @property
+    def meta_path(self) -> str:
+        return self.path("meta.json")
+
+    def write_meta(self, meta: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.meta_path)
+
+    def read_meta(self) -> dict:
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.path(name))

@@ -1,0 +1,190 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Three families, all deterministic and oracle-verifiable (the cross-engine
+hash discipline of functions/hashing.py keeps every value computable in
+DuckDB SQL too):
+
+- exact: identical normalized text -> one canonical survivor per group
+  (hash-groupBy; the relational form of the reference's set-semantics
+  posting dedup U1/U2, iscc_search/indexes/lmdb/index.py:139-141).
+- minhash + LSH: per-doc minhash signature over the token set, banded into
+  LSH buckets; candidate pairs from band equality are verified with exact
+  Jaccard (the reference's analogue is the banded ANN candidate fetch +
+  exact re-rank, usearch_core.py:160-196).
+- n-gram Jaccard: same machinery over token n-gram shingles.
+
+Scale notes: signature computation is one pass (n_perm min-aggregations,
+JVM-side, map-side partial min); the LSH join shuffles only
+(band_id, band_key) pairs; exact verification touches only candidate pairs.
+Never an O(N^2) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iscc_search_spark.functions.hashing import (
+    MERSENNE_31,
+    h32_expr,
+    minhash_expr,
+    minhash_params,
+)
+from iscc_search_spark.functions.textnorm import tokens_expr
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dup_key, group_size, keep) — exact-text duplicate groups.
+
+    ``keep`` marks the canonical survivor (min doc_id), the deterministic
+    analogue of the reference's keep-last upsert rule (B3,
+    usearch/index.py:263-301) for immutable batch corpora.
+    """
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("dup_key")
+    )
+    groups = keyed.groupBy("dup_key").agg(
+        F.count("*").alias("group_size"), F.min("doc_id").alias("canonical")
+    )
+    return (
+        keyed.join(groups, "dup_key")
+        .select(
+            "doc_id",
+            "dup_key",
+            "group_size",
+            (F.col("doc_id") == F.col("canonical")).alias("keep"),
+        )
+    )
+
+
+def _shingles_expr(text_col: str, n: int):
+    """Array of n-gram shingles (space-joined token windows), JVM-side."""
+    toks = tokens_expr(text_col)
+    if n == 1:
+        return toks
+    # transform over indices 0..size-n
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    ngram: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, m0..m{n_perm-1}) minhash signature over the shingle set."""
+    a, b = minhash_params(n_perm, seed)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_shingles_expr(text_col, ngram))).alias("shingle"),
+    )
+    h = sh.withColumn("h32", h32_expr("shingle"))
+    aggs = [
+        F.min(minhash_expr(F.col("h32"), a[k], b[k])).alias(f"m{k}")
+        for k in range(n_perm)
+    ]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_perm: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """(doc1, doc2) candidate pairs sharing >=1 LSH band."""
+    rows_per_band = n_perm // n_bands
+    bands = []
+    for bi in range(n_bands):
+        cols = [f"m{bi * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(bi).alias("band"),
+                F.concat_ws("-", *[F.col(c).cast("string") for c in cols]).alias("key"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    left = all_bands.alias("l")
+    right = all_bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc1, doc2, jaccard) for candidate pairs with exact Jaccard >= t.
+
+    Exact set intersection via an equi-join on shingles of the candidate
+    docs only (semi-join pruned) — integers all the way, so the final
+    division is the only float op (bit-identical across engines).
+    """
+    shing = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_shingles_expr(text_col, ngram))).alias("s"),
+    )
+    cand_docs = (
+        pairs.select(F.col("doc1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
+        .distinct()
+    )
+    shing = shing.join(cand_docs, "doc_id", "left_semi")
+    sizes = shing.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(
+            shing.select(F.col("doc_id").alias("doc1"), "s"), "doc1"
+        )
+        .join(shing.select(F.col("doc_id").alias("doc2"), "s"), ["doc2", "s"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(inter, ["doc1", "doc2"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2")), "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    n_bands: int = 4,
+    ngram: int = 1,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Full pipeline: signatures -> LSH candidates -> exact Jaccard >= t."""
+    sigs = minhash_signatures(docs, text_col, id_col, n_perm, ngram, seed)
+    pairs = lsh_candidate_pairs(sigs, n_perm, n_bands)
+    return jaccard_verify(docs, pairs, text_col, id_col, ngram, threshold)

@@ -1,0 +1,162 @@
+"""Top-k BM25 over the compressed sharded postings — block-max pruned.
+
+Query lifecycle (the Spark equivalent of the reference's search path,
+iscc_search/indexes/usearch/index.py:735-881 — see SURVEY.md §3.1):
+
+1. tokenize the query with the build-side tokenizer (normalize_query parity,
+   indexes/common.py:275-330);
+2. look up exact df per term in ``term_stats`` (bucket-pruned scan) and
+   compute idf driver-side in float64 libm;
+3. scan only the query terms' posting blocks (partition pruning on the
+   bucket dir + parquet row-group stats on ``term``);
+4. per shard, a vectorized numpy scorer decodes surviving blocks and
+   accumulates per-doc scores in ascending-term order (bit-identical to
+   the oracle's accumulation);
+5. block-max pruning: a block B of term t is skipped iff
+       idf_t * block_max(B) + sum_{t' != t} U_t'  <  theta
+   where U_t' is term t's global max impact and theta is a lower bound on
+   the k-th best total score (bootstrapped from the exact contributions of
+   the rarest term's postings).  Any doc in a skipped block has true score
+   < theta, so pruning is EXACT — the WAND invariant (SURVEY.md §7.5 #3);
+6. per-shard top-k (tie-break (-score, doc_id), the analogue of the
+   reference's (-score, iscc_id_body), lmdb_ops.py:249) then global
+   TakeOrderedAndProject merge.
+
+The doc-sharded layout means each shard scores its own disjoint doc set
+with complete information — no cross-shard traffic except the final k-row
+merge (the classic distributed-search fan-out; scales to 1000 executors by
+raising n_shards).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iscc_search_spark.catalog import IndexCatalog
+from iscc_search_spark.functions import codec
+from iscc_search_spark.functions.textnorm import tokenize_py
+from iscc_search_spark.operators.build import _bucket_of
+
+
+def _shard_scorer(idf: dict[str, float], k1: float, b: float, avgdl: float, k: int):
+    """Per-shard vectorized scorer (applyInPandas)."""
+    terms_sorted = sorted(idf)
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # group blocks per term
+        by_term: dict[str, pd.DataFrame] = {
+            t: g for t, g in pdf.groupby("term", sort=False)
+        }
+        present = [t for t in terms_sorted if t in by_term]
+        if not present:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)})
+
+        u = {t: idf[t] * float(by_term[t]["block_max_tfnorm"].max()) for t in present}
+        sum_u = sum(u.values())
+
+        def decode_term(t: str, min_bm: float = -np.inf) -> tuple[np.ndarray, np.ndarray]:
+            g = by_term[t]
+            bms = g["block_max_tfnorm"].to_numpy()
+            ids_parts, s_parts = [], []
+            for doc_buf, tf_buf, dl_buf, bm in zip(
+                g["doc_ids"], g["tfs"], g["dls"], bms
+            ):
+                if bm < min_bm:
+                    continue
+                d = codec.decode_doc_ids(doc_buf)
+                tf = codec.decode_tfs(tf_buf).astype(np.float64)
+                dl = codec.decode_tfs(dl_buf).astype(np.float64)
+                s = idf[t] * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                ids_parts.append(d)
+                s_parts.append(s)
+            if not ids_parts:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            return np.concatenate(ids_parts), np.concatenate(s_parts)
+
+        # theta bootstrap: exact single-term contributions of the rarest term
+        # (fewest postings in this shard) are lower bounds on totals
+        theta = -np.inf
+        if len(present) > 1 and k > 0:
+            rarest = min(present, key=lambda t: int(by_term[t]["n"].sum()))
+            _, s0 = decode_term(rarest)
+            if len(s0) >= k:
+                theta = float(np.partition(s0, -k)[-k])
+
+        # decode with block-max pruning (exact; the epsilon guard keeps the
+        # float-rounded bound strictly conservative vs ordered true sums)
+        eps = 1e-9 * (1.0 + abs(theta)) if np.isfinite(theta) else 0.0
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        for t in present:  # ascending term order -> ordered accumulation
+            min_bm = -np.inf
+            if np.isfinite(theta) and idf[t] > 0:
+                # keep block iff idf_t*bm + rest >= theta - eps
+                min_bm = (theta - eps - (sum_u - u[t])) / idf[t]
+            ids, s = decode_term(t, min_bm)
+            all_ids.append(ids)
+            all_scores.append(s)
+
+        flat_ids = np.concatenate(all_ids)
+        if len(flat_ids) == 0:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)})
+        uniq = np.unique(flat_ids)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        for ids, s in zip(all_ids, all_scores):  # term order preserved
+            if len(ids):
+                acc[np.searchsorted(uniq, ids)] += s
+
+        kk = min(k, len(uniq))
+        order = np.lexsort((uniq, -acc))[:kk]
+        return pd.DataFrame({"doc_id": uniq[order], "score": acc[order]})
+
+    return score
+
+
+def bm25_wand_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """(rank, doc_id, score) top-k from a built index directory."""
+    cat = IndexCatalog(index_dir)
+    meta = cat.read_meta()
+    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    k1, b = float(meta["bm25"]["k1"]), float(meta["bm25"]["b"])
+    n_buckets = int(meta["term_buckets"])
+
+    empty = spark.createDataFrame([], "rank long, doc_id long, score double")
+    terms = sorted(set(tokenize_py(query)))
+    if not terms or n_docs == 0:
+        return empty
+
+    buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
+    stats = (
+        spark.read.parquet(cat.term_stats)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .collect()
+    )
+    term_df = {r["term"]: int(r["df"]) for r in stats}
+    if not term_df:
+        return empty
+    idf = {
+        t: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for t, df in term_df.items()
+    }
+
+    blocks = spark.read.parquet(cat.postings).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(list(term_df))
+    )
+    local_topk = blocks.groupBy("shard").applyInPandas(
+        _shard_scorer(idf, k1, b, avgdl, k), "doc_id long, score double"
+    )
+    topk = local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score"
+    )
