@@ -1,0 +1,119 @@
+"""Two-parallelism scaling evidence (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors; no real cluster in this sandbox,
+so the same job runs at local[N] and local[4N] on identical input — per the
+driver instruction).
+
+The job structure is IDENTICAL at both levels (n_parts / n_shards / shuffle
+partitions fixed at 32); only the executor-thread count changes, exactly
+like adding executors to a cluster.
+
+Usage: python BENCH/scaling.py [n_docs] [n_low] [n_high]
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_PARTS = 32
+N_SHARDS = 32
+
+
+def run_at(cores: int, pages_path: str, queries: dict[int, str], work: str) -> dict:
+    from iscc_search_spark.config import EngineConfig
+    from iscc_search_spark.operators.build import build_index
+    from iscc_search_spark.operators.wand import bm25_wand_topk_batch
+    from iscc_search_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{cores}", cores=cores, shuffle_partitions=N_PARTS)
+    try:
+        pages = spark.read.parquet(pages_path)
+        n_docs = pages.count()
+        idx = os.path.join(work, f"index_c{cores}")
+        t0 = time.time()
+        build_index(
+            spark, pages, idx, cfg=EngineConfig(),
+            n_parts=N_PARTS, n_shards=N_SHARDS, group_size=N_PARTS, resume=False,
+        )
+        build_secs = time.time() - t0
+
+        # warm-up + measured batch (query throughput)
+        bm25_wand_topk_batch(spark, idx, {0: queries[0]}, k=10).collect()
+        t0 = time.time()
+        bm25_wand_topk_batch(spark, idx, queries, k=10).collect()
+        query_secs = time.time() - t0
+        return {
+            "cores": cores,
+            "n_docs": n_docs,
+            "build_secs": round(build_secs, 2),
+            "build_docs_per_sec": round(n_docs / build_secs, 1),
+            "query_secs": round(query_secs, 2),
+            "queries_per_sec": round(len(queries) / query_secs, 2),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    from iscc_search_spark import corpus
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    work = tempfile.mkdtemp(prefix="scaling_")
+    pages_path = os.path.join(work, "pages.parquet")
+    corpus.write_pages(pages_path, n_docs, seed=42)
+    queries = dict(enumerate(corpus.generate_queries(100)))
+
+    try:
+        low = run_at(n_low, pages_path, queries, work)
+        high = run_at(n_high, pages_path, queries, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    ratio = n_high / n_low
+    build_eff = (high["build_docs_per_sec"] / low["build_docs_per_sec"]) / ratio
+    query_eff = (high["queries_per_sec"] / low["queries_per_sec"]) / ratio
+    result = {
+        "n_docs": n_docs,
+        "low": low,
+        "high": high,
+        "build_scaling_efficiency": round(build_eff, 3),
+        "query_scaling_efficiency": round(query_eff, 3),
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH/BASELINE — measured numbers
+
+Two-parallelism scaling run (identical job + input, only executor threads
+change: local[{n_low}] vs local[{n_high}]; job structure fixed at
+n_parts={N_PARTS}, n_shards={N_SHARDS}).  Corpus: {n_docs} synthetic
+Common-Crawl-style pages (seed 42), {len(queries)} reference queries,
+BM25 top-10.
+
+| metric | local[{n_low}] (N) | local[{n_high}] (4N) | scaling efficiency |
+|---|---|---|---|
+| index build (s) | {low['build_secs']} | {high['build_secs']} | |
+| index build (docs/s) | {low['build_docs_per_sec']} | {high['build_docs_per_sec']} | **{result['build_scaling_efficiency']}** |
+| query batch (s, {len(queries)} queries) | {low['query_secs']} | {high['query_secs']} | |
+| BM25 top-10 (queries/s) | {low['queries_per_sec']} | {high['queries_per_sec']} | **{result['query_scaling_efficiency']}** |
+
+efficiency = (throughput_4N / throughput_N) / 4.  Target: >= 0.8 (north rule).
+
+Raw JSON: `{json.dumps(result)}`
+"""
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    with open(out, "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

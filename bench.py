@@ -1,0 +1,118 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline numbers per BASELINE.md: index-build docs/sec over a webtext
+corpus + BM25 top-10 queries/sec over the built compressed index, plus the
+training-pipeline operators.  Runs at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+The build benchmark uses BOTH the testdata ``documents`` table (comparable
+across rounds) and a larger generated pages corpus (SPARK_GRAFT_BENCH_DOCS,
+default 20000) so the build stage is measured at a meaningful size.
+Two-parallelism scaling evidence lives in BENCH/scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+    from pyspark.sql import functions as F
+
+    from iscc_search_spark import corpus
+    from iscc_search_spark.config import EngineConfig
+    from iscc_search_spark.entry_queries import Q1, Q2, Q3, build_registry
+    from iscc_search_spark.operators.build import build_index
+    from iscc_search_spark.operators.wand import bm25_wand_topk
+    from iscc_search_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    qreg, _ = build_registry()
+    work = tempfile.mkdtemp(prefix="bench_idx_")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    try:
+        # 1) index build over a generated pages corpus (the north-rule job)
+        pages_path = os.path.join(work, "pages.parquet")
+        corpus.write_pages(pages_path, bench_docs, seed=42)
+        pages = spark.read.parquet(pages_path)
+        idx_dir = os.path.join(work, "index")
+        cfg = EngineConfig()
+        res = timed(
+            "index_build_pages",
+            lambda: build_index(
+                spark, pages, idx_dir, cfg=cfg,
+                n_parts=cpus, n_shards=cpus, group_size=cpus,
+            ),
+        )
+        extra["build_docs_per_sec"] = round(bench_docs / timings["index_build_pages"], 1)
+
+        # 2) BM25 top-10 over the compressed index (block-max WAND path):
+        #    one cold single query (latency), then a 64-query batch (throughput)
+        from iscc_search_spark.operators.wand import bm25_wand_topk_batch
+
+        wand_queries = corpus.generate_queries(70)[:64]
+        timed(
+            "bm25_wand_single",
+            lambda: bm25_wand_topk(spark, idx_dir, wand_queries[0], k=10).collect(),
+        )
+        t0 = time.time()
+        bm25_wand_topk_batch(
+            spark, idx_dir, dict(enumerate(wand_queries)), k=10
+        ).collect()
+        timings["bm25_wand_batch64"] = round(time.time() - t0, 3)
+        extra["bm25_queries_per_sec"] = round(64 / timings["bm25_wand_batch64"], 2)
+
+        # 3) headline operators over the testdata tables
+        for name in [
+            "t1_bm25_topk_q1",
+            "t1_bm25_topk_q2",
+            "dedup_minhash_lsh",
+            "j3_simhash_neardup",
+            "ann_cosine_topk",
+            "a1_tpch_q1_pricing",
+            "q_quality_features",
+        ]:
+            fn = qreg[name]
+            timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "index-build + BM25 top-10 + pipeline operators wall time",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_dir,
+                    "cpus": cpus,
+                    "bench_docs": bench_docs,
+                    **extra,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

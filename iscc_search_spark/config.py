@@ -55,6 +55,10 @@ class EngineConfig:
     salt_df_threshold: int = 100_000
     n_salts: int = 16
     term_buckets: int = 64
+    # secondary split of the term space on the build shuffle: encode groups
+    # are (shard, pmod(hash(term), build_fanout)) so no reducer materializes
+    # an unbounded group; raise with corpus size (tasks = shards * fanout)
+    build_fanout: int = 8
     bm25: BM25Config = field(default_factory=BM25Config)
     # simhash (identity feature preserved from the reference: CONTENT_TEXT
     # 64-bit similarity hash; near-dup score = 1 - hamming/64, mirroring

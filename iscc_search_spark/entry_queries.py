@@ -1,0 +1,696 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle SQL
+for every operator claimed in SURVEY.md §2.
+
+Cross-engine float discipline (the driver hashes values order-insensitively,
+so Spark and DuckDB results must agree value-for-value):
+
+- integer math everywhere possible (hashes, counts, hamming) — exact;
+- single float ops (one division, one product chain in fixed order) — IEEE
+  ops are deterministic, so results are bit-identical;
+- float SUMS are always *ordered folds* in both engines
+  (array_sort+aggregate in Spark, list(x ORDER BY x)+list_reduce in DuckDB):
+  an unordered double sum differs across engines by ulps;
+- transcendentals (ln) go through libm on both sides (DuckDB std::log ==
+  CPython math.log, measured bit-identical; Spark JVM log differs by 1 ulp
+  on ~8% of inputs, so idf is computed driver-side or via numpy+round);
+- BM25 scores are additionally round(_, 6)-ed on both sides (belt and
+  braces for the ulp tail).
+
+DuckDB dialect notes (v1.0): bare numeric literals are DECIMAL — every float
+literal is cast/suffixed to DOUBLE; `x ** y` returns DOUBLE — powers of two
+are precomputed Python-side; sum(BIGINT) returns HUGEINT — cast back.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iscc_search_spark.config import BM25Config
+from iscc_search_spark.functions.analysis import (
+    LANG_LEXICON,
+    STOPWORDS_EN,
+    doc_fingerprints,
+    langid,
+    quality_features,
+)
+from iscc_search_spark.functions.hashing import MERSENNE_31, minhash_params
+from iscc_search_spark.functions.simhash import simhash_udf
+from iscc_search_spark.functions.textnorm import tokenize_py
+from iscc_search_spark.operators import ann, dedup, neardup
+from iscc_search_spark.operators.query import (
+    bm25_exact_topk,
+    bm25_scores,
+    doc_lengths,
+    doc_term_tf,
+)
+
+BM25 = BM25Config()
+K1, B = BM25.k1, BM25.b
+
+# fixed reference queries against the testdata `documents` vocabulary
+Q1 = "batch dup"            # common + rare
+Q2 = "spark query data window sort"  # 5 terms
+Q3 = "dup"                  # single rare term
+Q4 = "batch zzznotaterm"    # partial OOV
+MLT_DOC = 7                 # more-like-this source doc_id
+ANN_QUERY_ID = 0
+BM25_THRESHOLD = 0.5
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments
+# ---------------------------------------------------------------------------
+
+ARR = "list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), x -> x <> '')"
+TOKS = f"SELECT doc_id, unnest({ARR}) AS term FROM documents"
+
+
+def _d(v: float) -> str:
+    """Render a Python float as an exact DuckDB DOUBLE literal."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def _h32_sql(expr: str) -> str:
+    """h32 (first 8 md5 hex chars as uint32) in portable SQL."""
+    parts = [
+        f"(strpos('0123456789abcdef', md5({expr})[{i + 1}]) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _bm25_summed_cte(terms_sql: str) -> str:
+    """CTEs toks..summed producing (doc_id, score) for query terms."""
+    return f"""
+WITH toks AS ({TOKS}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS ad),
+qt AS ({terms_sql}),
+dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+idf AS (SELECT term, ln((CAST(st.n - df AS DOUBLE) + {_d(0.5)}) / (CAST(df AS DOUBLE) + {_d(0.5)}) + {_d(1.0)}) AS idf
+        FROM dfr, st),
+sc AS (SELECT tf.doc_id, tf.term,
+              idf.idf * ((CAST(tf.tf AS DOUBLE) * {_d(K1 + 1.0)})
+              / (CAST(tf.tf AS DOUBLE) + {_d(K1)} * ({_d(1.0 - B)} + ({_d(B)} * CAST(dl.dl AS DOUBLE)) / st.ad))) AS s
+       FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), st),
+summed AS (SELECT doc_id, list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score
+           FROM sc GROUP BY doc_id)"""
+
+
+def _terms_values(terms: list[str]) -> str:
+    vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"SELECT term FROM (VALUES {vals}) q(term)"
+
+
+def bm25_topk_sql(query: str, k: int = 10) -> str:
+    terms = sorted(set(tokenize_py(query)))
+    return f"""{_bm25_summed_cte(_terms_values(terms))}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM summed
+) WHERE rank <= {k}"""
+
+
+SIMHASH_CTE = f"""
+WITH toks AS ({TOKS}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+th AS (SELECT doc_id, tf, md5(term) AS h FROM tf),
+bb AS (SELECT doc_id, i,
+              sum(tf * (2 * (((strpos('0123456789abcdef', h[(i // 4) + 1]) - 1) >> (3 - (i % 4))) & 1) - 1)) AS v
+       FROM th, (SELECT unnest(range(0, 64)) AS i) bits
+       GROUP BY doc_id, i),
+sh0 AS (SELECT doc_id,
+               CAST(sum(CASE WHEN i = 0 AND v > 0 THEN CAST(-9223372036854775808 AS HUGEINT)
+                             WHEN i > 0 AND v > 0 THEN CAST(CAST(1 AS BIGINT) << (63 - i) AS HUGEINT)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bb GROUP BY doc_id),
+sh AS (SELECT d.doc_id, COALESCE(sh0.simhash, 0) AS simhash
+       FROM documents d LEFT JOIN sh0 USING (doc_id))"""
+
+
+def _minhash_sig_cte(n_perm: int, ngram: int, seed: int = 42) -> str:
+    a, b = minhash_params(n_perm, seed)
+    if ngram == 1:
+        arr = f"list_distinct({ARR})"
+    else:
+        arr = (
+            f"list_distinct(list_transform(range(1, len({ARR}) - {ngram - 2}), "
+            + f"i -> " + " || ' ' || ".join(f"{ARR}[i + {j}]" for j in range(ngram))
+            + "))"
+        )
+    h32 = _h32_sql("s")
+    mins = ", ".join(
+        f"min(((h32 % {MERSENNE_31}) * {a[k]} + {b[k]}) % {MERSENNE_31}) AS m{k}"
+        for k in range(n_perm)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, unnest({arr}) AS s FROM documents),
+hh AS (SELECT doc_id, s, {h32} AS h32 FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id)"""
+
+
+def _minhash_pipeline_sql(n_perm: int, n_bands: int, ngram: int, threshold: float) -> str:
+    rows = n_perm // n_bands
+    band_rows = []
+    for bi in range(n_bands):
+        key = " || '-' || ".join(
+            f"CAST(m{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {bi} AS band, {key} AS key FROM sig"
+        )
+    bands = " UNION ALL ".join(band_rows)
+    return f"""{_minhash_sig_cte(n_perm, ngram)},
+bands AS ({bands}),
+pairs AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+          FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT p.doc1, p.doc2, CAST(count(*) AS BIGINT) AS i
+          FROM pairs p JOIN sh a ON a.doc_id = p.doc1 JOIN sh b ON b.doc_id = p.doc2 AND b.s = a.s
+          GROUP BY p.doc1, p.doc2)
+SELECT i.doc1, i.doc2,
+       CAST(i.i AS DOUBLE) / CAST(s1.n + s2.n - i.i AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes s1 ON s1.doc_id = i.doc1 JOIN sizes s2 ON s2.doc_id = i.doc2
+WHERE CAST(i.i AS DOUBLE) / CAST(s1.n + s2.n - i.i AS DOUBLE) >= {_d(threshold)}"""
+
+
+def _ordered_sum_sql(x: str) -> str:
+    """Ordered float64 fold — bit-identical to Spark array_sort+aggregate."""
+    return f"list_reduce(list({x} ORDER BY {x}), (a, b) -> a + b)"
+
+
+def _ordered_sum_col(c):
+    return F.aggregate(
+        F.array_sort(F.collect_list(c)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+# ---------------------------------------------------------------------------
+# table loaders
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_tf(docs: DataFrame) -> DataFrame:
+    return doc_term_tf(docs, "text", "doc_id")
+
+
+def _bm25_topk_q(query: str, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        out = bm25_exact_topk(docs, query, k=k)
+        return out.withColumn("score", F.round("score", 6))
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+
+    # --- scans / filters (S2, P1, P2) -------------------------------------
+    def s2(spark, sf):
+        return (
+            _t(spark, sf, "documents")
+            .filter((F.col("lang") == "en") & (F.col("n_chars") >= 100))
+            .select("doc_id", "n_chars", "source")
+        )
+
+    queries["s2_scan_projection_filter"] = s2
+    oracles["s2_scan_projection_filter"] = (
+        "SELECT doc_id, n_chars, source FROM documents "
+        "WHERE lang = 'en' AND n_chars >= 100"
+    )
+
+    # --- inverted index build blocks (B1, A4, A5, F10) ---------------------
+    def b1(spark, sf):
+        return _docs_tf(_t(spark, sf, "documents"))
+
+    queries["b1_doc_term_tf"] = b1
+    oracles["b1_doc_term_tf"] = (
+        f"SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ({TOKS}) t "
+        "GROUP BY doc_id, term"
+    )
+
+    def a4(spark, sf):
+        return (
+            _docs_tf(_t(spark, sf, "documents"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+
+    queries["a4_term_df"] = a4
+    oracles["a4_term_df"] = (
+        f"SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM ({TOKS}) t "
+        "GROUP BY term"
+    )
+
+    def f10(spark, sf):
+        return doc_lengths(_t(spark, sf, "documents"), "text", "doc_id")
+
+    queries["f10_doc_lengths"] = f10
+    oracles["f10_doc_lengths"] = (
+        f"SELECT doc_id, CAST(len({ARR}) AS BIGINT) AS doc_len FROM documents"
+    )
+
+    def a5(spark, sf):
+        # idf via driver-side libm over the (small) set of distinct df
+        # values — the same query-constant discipline as the search path
+        docs = _t(spark, sf, "documents")
+        n = docs.count()
+        dfs = _docs_tf(docs).groupBy("term").agg(F.count("*").alias("df"))
+        distinct_dfs = [int(r["df"]) for r in dfs.select("df").distinct().collect()]
+        idf_map = F.create_map(
+            *[
+                x
+                for d in sorted(distinct_dfs)
+                for x in (
+                    F.lit(d),
+                    F.lit(round(math.log((n - d + 0.5) / (d + 0.5) + 1.0), 6)),
+                )
+            ]
+        )
+        return dfs.withColumn("idf", idf_map[F.col("df")])
+
+    queries["a5_term_idf"] = a5
+    oracles["a5_term_idf"] = f"""
+WITH toks AS ({TOKS}),
+dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT term, df,
+       round(ln((CAST(n.n - df AS DOUBLE) + {_d(0.5)}) / (CAST(df AS DOUBLE) + {_d(0.5)}) + {_d(1.0)}), 6) AS idf
+FROM dfr, n"""
+
+    # --- BM25 top-k (T1, T2, A7 analogue) ----------------------------------
+    for name, q in [
+        ("t1_bm25_topk_q1", Q1),
+        ("t1_bm25_topk_q2", Q2),
+        ("t1_bm25_topk_q3", Q3),
+        ("t1_bm25_topk_q4_partial_oov", Q4),
+    ]:
+        queries[name] = _bm25_topk_q(q)
+        oracles[name] = bm25_topk_sql(q)
+
+    # --- score threshold predicate (P3) ------------------------------------
+    def p3(spark, sf):
+        docs = _t(spark, sf, "documents")
+        scores = bm25_scores(docs, tokenize_py(Q1))
+        return scores.withColumn("score", F.round("score", 6)).filter(
+            F.col("score") >= BM25_THRESHOLD
+        )
+
+    queries["p3_bm25_score_threshold"] = p3
+    oracles["p3_bm25_score_threshold"] = f"""{_bm25_summed_cte(_terms_values(tokenize_py(Q1)))}
+SELECT doc_id, round(score, 6) AS score FROM summed WHERE round(score, 6) >= {_d(BM25_THRESHOLD)}"""
+
+    # --- more-like-this with self-exclusion (J5 + P5) ----------------------
+    def j5(spark, sf):
+        docs = _t(spark, sf, "documents")
+        src = docs.filter(F.col("doc_id") == MLT_DOC).select("text").collect()
+        terms = sorted(set(tokenize_py(src[0]["text"]))) if src else []
+        scores = bm25_scores(docs, terms).filter(F.col("doc_id") != MLT_DOC)
+        topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            topk.withColumn("rank", F.row_number().over(w).cast("long"))
+            .withColumn("score", F.round("score", 6))
+            .select("rank", "doc_id", "score")
+        )
+
+    queries["j5_more_like_this"] = j5
+    mlt_terms = f"SELECT DISTINCT term FROM toks WHERE doc_id = {MLT_DOC}"
+    oracles["j5_more_like_this"] = f"""{_bm25_summed_cte(mlt_terms)}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM summed WHERE doc_id <> {MLT_DOC}
+) WHERE rank <= 10"""
+
+    # --- exact dedup (U1/U2/B3) --------------------------------------------
+    def u1(spark, sf):
+        return dedup.exact_duplicates(_t(spark, sf, "documents"))
+
+    queries["u1_dedup_exact"] = u1
+    oracles["u1_dedup_exact"] = """
+WITH keyed AS (SELECT doc_id, md5(text) AS dup_key FROM documents),
+grp AS (SELECT dup_key, CAST(count(*) AS BIGINT) AS group_size, min(doc_id) AS canonical
+        FROM keyed GROUP BY dup_key)
+SELECT k.doc_id, k.dup_key, g.group_size, k.doc_id = g.canonical AS keep
+FROM keyed k JOIN grp g USING (dup_key)"""
+
+    # --- minhash LSH dedup + ngram jaccard ---------------------------------
+    def mh1(spark, sf):
+        return dedup.minhash_dedup(
+            _t(spark, sf, "documents"), n_perm=16, n_bands=4, ngram=1, threshold=0.5
+        )
+
+    queries["dedup_minhash_lsh"] = mh1
+    oracles["dedup_minhash_lsh"] = _minhash_pipeline_sql(16, 4, 1, 0.5)
+
+    def mh3(spark, sf):
+        return dedup.minhash_dedup(
+            _t(spark, sf, "documents"), n_perm=16, n_bands=4, ngram=3, threshold=0.3
+        )
+
+    queries["dedup_ngram3_jaccard"] = mh3
+    oracles["dedup_ngram3_jaccard"] = _minhash_pipeline_sql(16, 4, 3, 0.3)
+
+    # --- simhash (F6/F7 identity feature) ----------------------------------
+    def f6(spark, sf):
+        docs = _t(spark, sf, "documents")
+        tf = _docs_tf(docs)
+        agg = tf.groupBy("doc_id").agg(
+            F.collect_list("term").alias("terms"), F.collect_list("tf").alias("tfs")
+        )
+        return docs.select("doc_id").join(agg, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(simhash_udf("terms", "tfs"), F.lit(0)).alias("simhash"),
+        )
+
+    queries["f6_doc_simhash"] = f6
+    oracles["f6_doc_simhash"] = SIMHASH_CTE + "\nSELECT doc_id, simhash FROM sh"
+
+    def j3(spark, sf):
+        docs_sh = f6(spark, sf)
+        return neardup.simhash_neardup_pairs(docs_sh, max_hamming=8)
+
+    queries["j3_simhash_neardup"] = j3
+    shifts = ", ".join(str(2 ** (8 * b)) for b in range(8))
+    oracles["j3_simhash_neardup"] = f"""{SIMHASH_CTE},
+u AS (SELECT doc_id, simhash,
+             CASE WHEN simhash < 0 THEN CAST(simhash AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+                  ELSE CAST(simhash AS HUGEINT) END AS us FROM sh),
+bands AS (SELECT doc_id, simhash, b.b AS band,
+                 CAST((us // ([{shifts}])[b.b + 1]) % 256 AS BIGINT) AS key
+          FROM u, (SELECT unnest(range(0, 8)) AS b) b),
+cand AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2, l.simhash AS s1, r.simhash AS s2
+         FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming,
+       {_d(1.0)} - CAST(bit_count(xor(s1, s2)) AS DOUBLE) / {_d(64.0)} AS score
+FROM cand WHERE bit_count(xor(s1, s2)) <= 8"""
+
+    # --- ANN over embeddings (J3 similarity-join family) -------------------
+    def annq(spark, sf):
+        out = ann.cosine_topk(_t(spark, sf, "embeddings"), ANN_QUERY_ID, k=10)
+        return out.withColumn("cosine", F.round("cosine", 6))
+
+    queries["ann_cosine_topk"] = annq
+    oracles["ann_cosine_topk"] = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+pr AS (SELECT e.vec_id,
+              list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a, b) -> a + b) AS dot,
+              sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS ne,
+              sqrt(list_reduce(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nq
+       FROM embeddings e, q WHERE e.vec_id <> {ANN_QUERY_ID})
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(cosine, 6) AS cosine FROM (
+  SELECT vec_id, dot / (ne * nq) AS cosine,
+         row_number() OVER (ORDER BY dot / (ne * nq) DESC, vec_id) AS rank FROM pr
+) WHERE rank <= 10"""
+
+    def ann_lsh(spark, sf):
+        out = ann.rph_ann_topk(_t(spark, sf, "embeddings"), ANN_QUERY_ID, k=10, dim=64)
+        return out.withColumn("cosine", F.round("cosine", 6))
+
+    queries["ann_rph_lsh_topk"] = ann_lsh  # no SQL oracle: random-plane LSH
+    # (driver records rows-only check; exactness vs brute force is covered
+    # by tests/test_training_ops.py recall assertion)
+
+    # --- text analysis ------------------------------------------------------
+    def qual(spark, sf):
+        return quality_features(_t(spark, sf, "documents"))
+
+    queries["q_quality_features"] = qual
+    stop_arr = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+    oracles["q_quality_features"] = f"""
+WITH base AS (SELECT doc_id, text, {ARR} AS arr FROM documents),
+feat AS (SELECT doc_id,
+  CAST(len(arr) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(list_distinct(arr)) AS DOUBLE) / CAST(len(arr) AS DOUBLE) AS uniq_ratio,
+  CAST(len(list_filter(arr, t -> list_contains({stop_arr}, t))) AS DOUBLE) / CAST(len(arr) AS DOUBLE) AS stopword_ratio,
+  CAST(list_reduce(list_transform(arr, t -> length(t)), (a, b) -> a + b) AS DOUBLE) / CAST(len(arr) AS DOUBLE) AS avg_token_len,
+  CAST(length(text) - length(regexp_replace(lower(text), '[0-9a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alnum_ratio
+FROM base)
+SELECT doc_id, n_tokens, n_chars, uniq_ratio, stopword_ratio, avg_token_len, alnum_ratio,
+       uniq_ratio * {_d(0.5)} + alnum_ratio * {_d(0.3)} + ({_d(1.0)} - stopword_ratio) * {_d(0.2)} AS quality_score
+FROM feat"""
+
+    def lid(spark, sf):
+        return langid(_t(spark, sf, "documents"))
+
+    queries["q_langid"] = lid
+    lex = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in LANG_LEXICON.items()}
+    oracles["q_langid"] = f"""
+WITH c AS (SELECT doc_id,
+  len(list_filter({ARR}, t -> list_contains({lex['en']}, t))) AS en,
+  len(list_filter({ARR}, t -> list_contains({lex['de']}, t))) AS de,
+  len(list_filter({ARR}, t -> list_contains({lex['fr']}, t))) AS fr
+FROM documents)
+SELECT doc_id, CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+                    WHEN de = greatest(en, de, fr) THEN 'de'
+                    WHEN en = greatest(en, de, fr) THEN 'en'
+                    ELSE 'fr' END AS lang_pred FROM c"""
+
+    def fpq(spark, sf):
+        return doc_fingerprints(_t(spark, sf, "documents"))
+
+    queries["f7_doc_fingerprint"] = fpq
+    h32_t = _h32_sql("t")
+    oracles["f7_doc_fingerprint"] = f"""
+SELECT doc_id,
+  CASE WHEN len({ARR}) = 0 THEN 0
+       ELSE list_reduce(list_transform({ARR}, t -> {h32_t} % {MERSENNE_31}),
+                        (a, b) -> ((a * 1000003) + b) % {MERSENNE_31}) END AS fingerprint
+FROM documents"""
+
+    def tstats(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (
+            doc_lengths(docs, "text", "doc_id")
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("total_tokens"))
+        )
+
+    queries["q_token_stats_by_lang"] = tstats
+    oracles["q_token_stats_by_lang"] = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({ARR})) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang"""
+
+    # --- relational operator demos over the TPC-H-ish tables ---------------
+    def tpch_q1(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+        )
+        li = li.withColumn(
+            "disc_price", F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        )
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            _ordered_sum_col(F.col("l_quantity")).alias("sum_qty"),
+            _ordered_sum_col(F.col("l_extendedprice")).alias("sum_base_price"),
+            _ordered_sum_col(F.col("disc_price")).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+
+    queries["a1_tpch_q1_pricing"] = tpch_q1
+    oracles["a1_tpch_q1_pricing"] = f"""
+WITH li AS (SELECT *, l_extendedprice * ({_d(1.0)} - l_discount) AS disc_price
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+SELECT l_returnflag, l_linestatus,
+       {_ordered_sum_sql('l_quantity')} AS sum_qty,
+       {_ordered_sum_sql('l_extendedprice')} AS sum_base_price,
+       {_ordered_sum_sql('disc_price')} AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM li GROUP BY l_returnflag, l_linestatus"""
+
+    def j1(spark, sf):
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        joined = o.join(
+            F.broadcast(c), o.o_custkey == c.c_custkey
+        ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        return joined.groupBy("n_name").agg(
+            _ordered_sum_col(F.col("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+
+    queries["j1_revenue_by_nation"] = j1
+    oracles["j1_revenue_by_nation"] = f"""
+SELECT n_name, {_ordered_sum_sql('o_totalprice')} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+    def t2(spark, sf):
+        o = _t(spark, sf, "orders")
+        topk = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+        w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+            "rank", "o_orderkey", "o_custkey", "o_totalprice"
+        )
+
+    queries["t2_topk_orders"] = t2
+    oracles["t2_topk_orders"] = """
+SELECT CAST(rank AS BIGINT) AS rank, o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders
+) WHERE rank <= 10"""
+
+    def u4(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return c.join(
+            o, c.c_custkey == o.o_custkey, "left_anti"
+        ).select("c_custkey", "c_name")
+
+    queries["u4_customers_without_orders"] = u4
+    oracles["u4_customers_without_orders"] = (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    )
+
+    def b3(spark, sf):
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type", "value")
+        )
+
+    queries["b3_latest_event_per_user"] = b3
+    oracles["b3_latest_event_per_user"] = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1"""
+
+    def j2(spark, sf):
+        p = _t(spark, sf, "part")
+        return (
+            p.filter(F.col("p_name").startswith("s"))
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts"), F.min("p_retailprice").alias("min_price"))
+        )
+
+    queries["j2_prefix_scan_parts"] = j2
+    oracles["j2_prefix_scan_parts"] = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, min(p_retailprice) AS min_price
+FROM part WHERE p_name LIKE 's%' GROUP BY p_brand"""
+
+    def s4(spark, sf):
+        e = _t(spark, sf, "events")
+        cls = (
+            F.when(F.col("value") < 50.0, F.lit("low"))
+            .when(F.col("value") < 200.0, F.lit("mid"))
+            .otherwise(F.lit("high"))
+        )
+        return e.groupBy(cls.alias("value_class"), "event_type").agg(
+            F.count("*").alias("n")
+        )
+
+    queries["s4_classify_events"] = s4
+    oracles["s4_classify_events"] = f"""
+SELECT CASE WHEN value < {_d(50.0)} THEN 'low'
+            WHEN value < {_d(200.0)} THEN 'mid' ELSE 'high' END AS value_class,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2"""
+
+    def a9(spark, sf):
+        return _t(spark, sf, "events").groupBy("event_type").agg(
+            F.count("*").alias("n")
+        )
+
+    queries["a9_reason_counters"] = a9
+    oracles["a9_reason_counters"] = (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+    )
+
+    def a3(spark, sf):
+        e = _t(spark, sf, "events").withColumn(
+            "s", F.col("value") / F.lit(500.0)
+        ).filter(F.col("s") >= 0.75)
+        e = e.withColumn("s4", F.col("s") * F.col("s") * F.col("s") * F.col("s"))
+        return e.groupBy("event_type").agg(
+            (
+                _ordered_sum_col(F.col("s4")) / _ordered_sum_col(F.col("s"))
+            ).alias("confidence_score"),
+            F.count("*").alias("n_strong"),
+        )
+
+    queries["a3_confidence_weighted"] = a3
+    oracles["a3_confidence_weighted"] = f"""
+WITH s AS (SELECT event_type, value / {_d(500.0)} AS s FROM events WHERE value / {_d(500.0)} >= {_d(0.75)}),
+s4 AS (SELECT event_type, s, s * s * s * s AS s4 FROM s)
+SELECT event_type,
+       {_ordered_sum_sql('s4')} / {_ordered_sum_sql('s')} AS confidence_score,
+       CAST(count(*) AS BIGINT) AS n_strong
+FROM s4 GROUP BY event_type"""
+
+    def a2(spark, sf):
+        li = _t(spark, sf, "lineitem").withColumn(
+            "score", F.col("l_quantity") / F.lit(50.0)
+        )
+        return li.groupBy("l_orderkey").agg(
+            (_ordered_sum_col(F.col("score")) / F.count("*")).alias("mean_score"),
+            F.count("*").alias("n_lines"),
+        )
+
+    queries["a2_length_normalized_mean"] = a2
+    oracles["a2_length_normalized_mean"] = f"""
+WITH s AS (SELECT l_orderkey, l_quantity / {_d(50.0)} AS score FROM lineitem)
+SELECT l_orderkey, {_ordered_sum_sql('score')} / count(*) AS mean_score,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM s GROUP BY l_orderkey"""
+
+    def a6(spark, sf):
+        e = _t(spark, sf, "events")
+        per_type = e.groupBy("user_id", "event_type").agg(F.count("*").alias("f"))
+        per_user = per_type.groupBy("user_id").agg(
+            F.countDistinct("event_type").alias("n_types"),
+            F.max("f").alias("maxf"),
+            F.min("f").alias("minf"),
+        )
+        quality = F.when(
+            (F.col("n_types") == 1) | (F.col("maxf") == F.col("minf")), F.lit(1.0)
+        ).otherwise(
+            (F.col("maxf") - F.col("minf")).cast("double")
+            / F.col("maxf").cast("double")
+        )
+        return per_user.select(
+            "user_id",
+            (F.col("n_types").cast("double") / F.lit(5.0)).alias("coverage"),
+            quality.alias("quality"),
+            ((F.col("n_types").cast("double") / F.lit(5.0)) * quality).alias("score"),
+        )
+
+    queries["a6_coverage_quality"] = a6
+    oracles["a6_coverage_quality"] = f"""
+WITH pt AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS f FROM events GROUP BY 1, 2),
+pu AS (SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+              max(f) AS maxf, min(f) AS minf FROM pt GROUP BY user_id),
+q AS (SELECT user_id,
+             CAST(n_types AS DOUBLE) / {_d(5.0)} AS coverage,
+             CASE WHEN n_types = 1 OR maxf = minf THEN {_d(1.0)}
+                  ELSE CAST(maxf - minf AS DOUBLE) / CAST(maxf AS DOUBLE) END AS quality
+      FROM pu)
+SELECT user_id, coverage, quality, coverage * quality AS score FROM q"""
+
+    return queries, oracles

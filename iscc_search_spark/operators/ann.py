@@ -93,7 +93,7 @@ def rph_ann_topk(
     query_vec_id: int,
     k: int = 10,
     dim: int | None = None,
-    n_bands: int = 8,
+    n_bands: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,

@@ -149,6 +149,27 @@ def _append_metrics(cat: IndexCatalog, rows: list[dict]) -> None:
     pq.write_table(pa.table(cols), os.path.join(cat.metrics, f"m-{uuid.uuid4().hex}.parquet"))
 
 
+def _normalize_input(pages: DataFrame) -> DataFrame:
+    """Accept either a pages table (url-keyed; doc_id derived via blake2b)
+    or a documents table (doc_id-keyed; synthetic doc:// url)."""
+    cols = set(pages.columns)
+    lang = F.col("lang") if "lang" in cols else F.lit("und")
+    if "url" in cols:
+        out = pages.select(
+            "url", F.col("text"), lang.alias("lang")
+        ).withColumn("doc_id", doc_id_udf("url"))
+    elif "doc_id" in cols:
+        out = pages.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+            lang.alias("lang"),
+            "doc_id",
+        )
+    else:
+        raise ValueError("input needs a url or doc_id column")
+    return out
+
+
 def build_segments(
     spark: SparkSession,
     pages: DataFrame,
@@ -166,7 +187,7 @@ def build_segments(
     resumability test (FIXTURES.md §6).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    pages_p = pages.withColumn(
+    pages_p = _normalize_input(pages).withColumn(
         "part", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
     want = _fingerprints(pages_p)
@@ -183,7 +204,7 @@ def build_segments(
         pg = pages_p.filter(F.col("part").isin(group))
         toks = pg.select(
             "part",
-            doc_id_udf("url").alias("doc_id"),
+            "doc_id",
             F.explode(tokens_expr("text")).alias("term"),
         )
         tf = toks.groupBy("part", "doc_id", "term").agg(F.count("*").alias("tf"))
@@ -204,9 +225,7 @@ def build_segments(
             "doc_len",
             simhash_udf("terms", "tfs").alias("simhash"),
         )
-        meta = pg.select(
-            "part", doc_id_udf("url").alias("doc_id"), "url", "lang"
-        )
+        meta = pg.select("part", "doc_id", "url", "lang")
         docs = meta.join(agg, ["part", "doc_id"], "left").select(
             "part",
             "doc_id",
@@ -250,36 +269,61 @@ def build_segments(
 
 
 def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
+    """Shard-group block encoder (applyInPandas on (shard, tgroup)).
+
+    One Python call per group, not per term: rows are lexsorted by
+    (term, doc_id) in numpy, block boundaries derived vectorized, and only
+    the final per-block varbyte encode loops (over ~n/block_size blocks,
+    each a numpy kernel).  At 10^12 docs the group size is bounded by the
+    ``build_fanout`` secondary split of the term space (tgroup), not by the
+    corpus — no reducer materializes an unbounded group.
+    """
     block_size = cfg.block_size
     n_buckets = cfg.term_buckets
 
     def encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        shard, term = int(key[0]), str(key[1])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order]
+        shard = int(key[0])
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy()
+        order = np.lexsort((doc_ids, terms))
+        terms = terms[order]
+        doc_ids = doc_ids[order]
         tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
         dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
         tfnorm = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        rows = []
-        bucket = _bucket_of(term, n_buckets)
-        for bi, s in enumerate(range(0, len(doc_ids), block_size)):
-            e = s + block_size
-            d, t, l = doc_ids[s:e], tfs[s:e], dls[s:e]
-            rows.append(
-                {
-                    "shard": shard,
-                    "bucket": bucket,
-                    "term": term,
-                    "block_id": bi,
-                    "n": len(d),
-                    "min_doc": int(d[0]),
-                    "max_doc": int(d[-1]),
-                    "doc_ids": codec.encode_doc_ids(d),
-                    "tfs": codec.encode_tfs(t),
-                    "dls": codec.encode_tfs(l),
-                    "block_max_tfnorm": float(tfnorm[s:e].max()),
-                }
-            )
+
+        n = len(terms)
+        term_change = np.empty(n, dtype=bool)
+        term_change[0] = True
+        term_change[1:] = terms[1:] != terms[:-1]
+        term_start_idx = np.flatnonzero(term_change)
+        # position of each row within its term run
+        run_id = np.cumsum(term_change) - 1
+        pos_in_term = np.arange(n) - term_start_idx[run_id]
+        block_starts = np.flatnonzero(pos_in_term % block_size == 0)
+        block_ends = np.append(block_starts[1:], n)
+
+        uniq_terms = terms[term_start_idx]
+        bucket_map = {t: _bucket_of(t, n_buckets) for t in uniq_terms}
+
+        rows = {
+            "shard": [], "bucket": [], "term": [], "block_id": [], "n": [],
+            "min_doc": [], "max_doc": [], "doc_ids": [], "tfs": [], "dls": [],
+            "block_max_tfnorm": [],
+        }
+        for s, e in zip(block_starts, block_ends):
+            t = terms[s]
+            rows["shard"].append(shard)
+            rows["bucket"].append(bucket_map[t])
+            rows["term"].append(t)
+            rows["block_id"].append(int(pos_in_term[s]) // block_size)
+            rows["n"].append(int(e - s))
+            rows["min_doc"].append(int(doc_ids[s]))
+            rows["max_doc"].append(int(doc_ids[e - 1]))
+            rows["doc_ids"].append(codec.encode_doc_ids(doc_ids[s:e]))
+            rows["tfs"].append(codec.encode_tfs(tfs[s:e]))
+            rows["dls"].append(codec.encode_tfs(dls[s:e]))
+            rows["block_max_tfnorm"].append(float(tfnorm[s:e].max()))
         return pd.DataFrame(rows)
 
     return encode
@@ -320,13 +364,24 @@ def build_postings(
     postings_in = (
         seg.join(lens, "doc_id")
         .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
-        .select("shard", "term", "doc_id", "tf", "doc_len")
+        .withColumn(
+            "tgroup",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.build_fanout)).cast("int"),
+        )
+        .select("shard", "tgroup", "term", "doc_id", "tf", "doc_len")
     )
     blocks = (
-        postings_in.groupBy("shard", "term")
+        postings_in.groupBy("shard", "tgroup")
         .applyInPandas(_encode_blocks_fn(cfg, k1, b, avgdl), POSTINGS_SCHEMA)
     )
-    blocks.write.mode("overwrite").partitionBy("shard", "bucket").parquet(cat.postings)
+    # one file per (shard, bucket) dir: fast bucket-pruned query scans
+    (
+        blocks.repartition("shard", "bucket")
+        .sortWithinPartitions("term", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("shard", "bucket")
+        .parquet(cat.postings)
+    )
 
     # global exact term stats (df = posting count; (doc,term) is unique)
     stats = (
@@ -334,7 +389,13 @@ def build_postings(
         .agg(F.count("*").alias("df"))
         .withColumn("bucket", bucket_expr("term", cfg.term_buckets))
     )
-    stats.write.mode("overwrite").partitionBy("bucket").parquet(cat.term_stats)
+    (
+        stats.repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(cat.term_stats)
+    )
 
     secs = time.time() - t0
     cat.write_meta(

@@ -64,11 +64,12 @@ def _shingles_expr(text_col: str, n: int):
     toks = tokens_expr(text_col)
     if n == 1:
         return toks
-    # transform over indices 0..size-n
-    return F.transform(
+    # transform over indices 0..size-n; guard short docs (sequence would
+    # otherwise run descending for negative bounds)
+    return F.when(F.size(toks) >= n, F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(

@@ -84,32 +84,26 @@ def query_idf(
     }
 
 
-def bm25_exact_topk(
+def bm25_scores(
     docs: DataFrame,
-    query: str,
-    k: int = 10,
+    query_terms: list[str],
     bm25: BM25Config | None = None,
     text_col: str = "text",
     doc_col: str = "doc_id",
     tf_df: DataFrame | None = None,
     lens_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Exhaustive BM25 top-k over a (doc_id, text) table.
-
-    Returns (rank long, doc_id long, score double), rank 1..k ordered by
-    (-score, doc_id).  Pass precomputed ``tf_df``/``lens_df`` to amortize
-    tokenization across a query batch (they are pure functions of ``docs``).
-    """
+    """(doc_id, score) for every doc matching >=1 query term (P3's input)."""
     bm25 = bm25 or BM25Config()
     spark = docs.sparkSession
-    terms = sorted(set(tokenize_py(query)))
+    terms = sorted(set(query_terms))
     if tf_df is None:
         tf_df = doc_term_tf(docs, text_col, doc_col)
     if lens_df is None:
         lens_df = doc_lengths(docs, text_col, doc_col)
 
     n_docs, avgdl = corpus_stats(lens_df)
-    empty = spark.createDataFrame([], "rank long, doc_id long, score double")
+    empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms or n_docs == 0:
         return empty
 
@@ -135,21 +129,44 @@ def bm25_exact_topk(
         .withColumn(
             "s",
             idf_map[F.col("term")]
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
+            * (
+                (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
+                )
             ),
         )
     )
     # ordered per-doc sum: ascending term, float64, init 0.0 — matches oracle
-    scores = matched.groupBy("doc_id").agg(
+    return matched.groupBy("doc_id").agg(
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("term", "s"))),
             F.lit(0.0),
             lambda acc, x: acc + x["s"],
         ).alias("score")
+    )
+
+
+def bm25_exact_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    bm25: BM25Config | None = None,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    tf_df: DataFrame | None = None,
+    lens_df: DataFrame | None = None,
+) -> DataFrame:
+    """Exhaustive BM25 top-k over a (doc_id, text) table.
+
+    Returns (rank long, doc_id long, score double), rank 1..k ordered by
+    (-score, doc_id).  Pass precomputed ``tf_df``/``lens_df`` to amortize
+    tokenization across a query batch (they are pure functions of ``docs``).
+    """
+    scores = bm25_scores(
+        docs, tokenize_py(query), bm25, text_col, doc_col, tf_df, lens_df
     )
     topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     # rank over k rows only — the window runs after the distributed top-k

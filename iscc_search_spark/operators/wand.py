@@ -71,7 +71,7 @@ def _shard_scorer(idf: dict[str, float], k1: float, b: float, avgdl: float, k: i
                 d = codec.decode_doc_ids(doc_buf)
                 tf = codec.decode_tfs(tf_buf).astype(np.float64)
                 dl = codec.decode_tfs(dl_buf).astype(np.float64)
-                s = idf[t] * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                s = idf[t] * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
                 ids_parts.append(d)
                 s_parts.append(s)
             if not ids_parts:
@@ -159,4 +159,162 @@ def bm25_wand_topk(
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "score"
+    )
+
+
+def _batch_shard_scorer(
+    query_idf: dict[int, dict[str, float]], k1: float, b: float, avgdl: float, k: int
+):
+    """Per-shard scorer for a query BATCH.
+
+    Every posting block of every requested term is decoded exactly once and
+    cached per (term) as per-block (block_max, doc_ids, tfnorm) triples;
+    each query then scores from the shared cache with its own idf weights
+    and per-query block-max pruning (same exactness argument as the
+    single-query scorer).  This amortizes parquet scan + Arrow transfer +
+    decode across the whole query batch — the serving-path answer to the
+    reference's per-query LMDB cursor reuse (lmdb/index.py:395-445).
+    """
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded: dict[str, list[tuple[float, np.ndarray, np.ndarray]]] = {}
+        for t, g in pdf.groupby("term", sort=False):
+            blocks = []
+            for doc_buf, tf_buf, dl_buf, bm in zip(
+                g["doc_ids"], g["tfs"], g["dls"], g["block_max_tfnorm"].to_numpy()
+            ):
+                d = codec.decode_doc_ids(doc_buf)
+                tf = codec.decode_tfs(tf_buf).astype(np.float64)
+                dl = codec.decode_tfs(dl_buf).astype(np.float64)
+                tfnorm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                blocks.append((float(bm), d, tfnorm))
+            decoded[t] = blocks
+
+        out_qid: list[np.ndarray] = []
+        out_doc: list[np.ndarray] = []
+        out_score: list[np.ndarray] = []
+        for qid, idf in query_idf.items():
+            present = sorted(t for t in idf if t in decoded)
+            if not present:
+                continue
+            u = {
+                t: idf[t] * max(bm for bm, _, _ in decoded[t]) for t in present
+            }
+            sum_u = sum(u.values())
+            theta = -np.inf
+            if len(present) > 1 and k > 0:
+                rarest = min(
+                    present, key=lambda t: sum(len(d) for _, d, _ in decoded[t])
+                )
+                s0 = np.concatenate(
+                    [idf[rarest] * tn for _, _, tn in decoded[rarest]]
+                )
+                if len(s0) >= k:
+                    theta = float(np.partition(s0, -k)[-k])
+            eps = 1e-9 * (1.0 + abs(theta)) if np.isfinite(theta) else 0.0
+
+            per_term: list[tuple[np.ndarray, np.ndarray]] = []
+            for t in present:
+                min_bm = -np.inf
+                if np.isfinite(theta) and idf[t] > 0:
+                    min_bm = (theta - eps - (sum_u - u[t])) / idf[t]
+                ids_parts = [d for bm, d, _ in decoded[t] if bm >= min_bm]
+                s_parts = [
+                    idf[t] * tn for bm, _, tn in decoded[t] if bm >= min_bm
+                ]
+                if ids_parts:
+                    per_term.append(
+                        (np.concatenate(ids_parts), np.concatenate(s_parts))
+                    )
+            if not per_term:
+                continue
+            flat = np.concatenate([ids for ids, _ in per_term])
+            uniq = np.unique(flat)
+            acc = np.zeros(len(uniq), dtype=np.float64)
+            for ids, s in per_term:  # ascending-term order preserved
+                acc[np.searchsorted(uniq, ids)] += s
+            kk = min(k, len(uniq))
+            order = np.lexsort((uniq, -acc))[:kk]
+            out_qid.append(np.full(kk, qid, dtype=np.int64))
+            out_doc.append(uniq[order])
+            out_score.append(acc[order])
+
+        if not out_qid:
+            return pd.DataFrame(
+                {
+                    "query_id": np.empty(0, np.int64),
+                    "doc_id": np.empty(0, np.int64),
+                    "score": np.empty(0, np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_qid),
+                "doc_id": np.concatenate(out_doc),
+                "score": np.concatenate(out_score),
+            }
+        )
+
+    return score
+
+
+def bm25_wand_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[int, str],
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) for a whole query batch in ONE job.
+
+    The scan touches only the union of all query terms' buckets; every
+    block is decoded once per shard; the final global merge is a single
+    small shuffle on query_id.
+    """
+    cat = IndexCatalog(index_dir)
+    meta = cat.read_meta()
+    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    k1, b = float(meta["bm25"]["k1"]), float(meta["bm25"]["b"])
+    n_buckets = int(meta["term_buckets"])
+
+    empty = spark.createDataFrame(
+        [], "query_id long, rank long, doc_id long, score double"
+    )
+    q_terms = {qid: sorted(set(tokenize_py(q))) for qid, q in queries.items()}
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    if not all_terms or n_docs == 0:
+        return empty
+
+    buckets = sorted({_bucket_of(t, n_buckets) for t in all_terms})
+    stats = (
+        spark.read.parquet(cat.term_stats)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .collect()
+    )
+    term_df = {r["term"]: int(r["df"]) for r in stats}
+    if not term_df:
+        return empty
+    idf_all = {
+        t: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for t, df in term_df.items()
+    }
+    query_idf = {
+        qid: {t: idf_all[t] for t in ts if t in idf_all}
+        for qid, ts in q_terms.items()
+    }
+    query_idf = {qid: m for qid, m in query_idf.items() if m}
+    if not query_idf:
+        return empty
+
+    blocks = spark.read.parquet(cat.postings).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(list(term_df))
+    )
+    local = blocks.groupBy("shard").applyInPandas(
+        _batch_shard_scorer(query_idf, k1, b, avgdl, k),
+        "query_id long, doc_id long, score double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )

@@ -63,7 +63,10 @@ class OracleIndex:
             idf = self.idf(term)
             for doc_id, tf in plist.items():
                 dl = self.doc_len[doc_id]
-                s = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                # factored as idf * tfnorm so the engine can precompute the
+                # query-independent tfnorm (batch path) — association is part
+                # of the frozen spec (rank-identity is bit-exact)
+                s = idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
                 scores[doc_id] = scores.get(doc_id, 0.0) + s
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]

@@ -1,0 +1,97 @@
+"""SearchIndex — the user-facing query facade (the reference's index
+protocol surface, iscc_search/protocols/index.py:39-98, re-expressed as a
+plan-building library: no custom Catalyst rule needed, the facade emits the
+DataFrame plan directly — SURVEY.md §4 'what needs a custom rule: nothing').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iscc_search_spark.catalog import IndexCatalog
+from iscc_search_spark.functions.textnorm import tokenize_py
+from iscc_search_spark.operators.neardup import simhash_neardup_pairs
+from iscc_search_spark.operators.wand import bm25_wand_topk, bm25_wand_topk_batch
+
+
+class SearchIndex:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir)
+        self.meta = self.cat.read_meta()
+
+    # --- queries ------------------------------------------------------------
+
+    def search(self, query: str, k: int = 10, with_metadata: bool = True) -> DataFrame:
+        """BM25 top-k; optionally enriched with the docs sidecar (J4 — the
+        reference's post-top-k metadata lookup, usearch/index.py:841-875)."""
+        topk = bm25_wand_topk(self.spark, self.cat.root, query, k)
+        if not with_metadata:
+            return topk
+        docs = self.spark.read.parquet(self.cat.docs).select(
+            "doc_id", "url", "lang", "simhash", "doc_len"
+        )
+        return topk.join(docs, "doc_id", "left").orderBy("rank")
+
+    def search_many(self, queries: dict[int, str], k: int = 10) -> DataFrame:
+        """Batched BM25 top-k: one Spark job for the whole query set
+        (blocks decoded once per shard, shared across queries)."""
+        return bm25_wand_topk_batch(self.spark, self.cat.root, queries, k)
+
+    def more_like_this(self, doc_id: int, k: int = 10) -> DataFrame:
+        """J5: expand the stored document's terms into a query, excluding
+        the source doc itself (P5 self-exclusion)."""
+        part_row = (
+            self.spark.read.parquet(self.cat.docs)
+            .filter(F.col("doc_id") == doc_id)
+            .select("part")
+            .collect()
+        )
+        if not part_row:
+            raise KeyError(f"doc_id {doc_id} not indexed")
+        part = int(part_row[0]["part"])
+        terms = [
+            r["term"]
+            for r in self.spark.read.parquet(self.cat.segments)
+            .filter((F.col("part") == part) & (F.col("doc_id") == doc_id))
+            .select("term")
+            .collect()
+        ]
+        topk = bm25_wand_topk(
+            self.spark, self.cat.root, " ".join(sorted(set(terms))), k + 1
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            topk.filter(F.col("doc_id") != doc_id)
+            .drop("rank")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("rank", "doc_id", "score")
+        )
+
+    def near_duplicates(self, max_hamming: int = 6) -> DataFrame:
+        """Corpus-wide simhash near-dup pairs from the docs sidecar."""
+        docs = self.spark.read.parquet(self.cat.docs).select("doc_id", "simhash")
+        return simhash_neardup_pairs(docs, max_hamming=max_hamming)
+
+    # --- DDL / stats (S8) ----------------------------------------------------
+
+    def stats(self) -> dict:
+        docs = self.spark.read.parquet(self.cat.docs)
+        postings = self.spark.read.parquet(self.cat.postings)
+        return {
+            **self.meta,
+            "n_docs": docs.count(),
+            "n_posting_blocks": postings.count(),
+            "n_terms": self.spark.read.parquet(self.cat.term_stats).count(),
+        }
+
+
+def drop_index(index_dir: str) -> None:
+    """S8 delete-index analogue."""
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)

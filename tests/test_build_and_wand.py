@@ -52,6 +52,19 @@ def test_wand_rank_identical_to_oracle(spark, index_dir, oracle):
     assert nonempty > 0
 
 
+def test_wand_batch_equals_oracle(spark, index_dir, oracle):
+    from iscc_search_spark.operators.wand import bm25_wand_topk_batch
+
+    queries = dict(enumerate(generate_queries(30)))
+    out = bm25_wand_topk_batch(spark, index_dir, queries, k=10).collect()
+    got: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in queries.items():
+        want = oracle.search(q, k=10)
+        assert got.get(qid, []) == want, f"qid={qid} query={q!r}"
+
+
 def test_wand_equals_exhaustive(spark, index_dir, pages_df):
     from iscc_search_spark.functions.hashing import doc_id_udf
 
