@@ -54,7 +54,7 @@ class EngineConfig:
     block_size: int = 128
     salt_df_threshold: int = 100_000
     n_salts: int = 16
-    term_buckets: int = 64
+    term_buckets: int = 16
     # secondary split of the term space on the build shuffle: encode groups
     # are (shard, pmod(hash(term), build_fanout)) so no reducer materializes
     # an unbounded group; raise with corpus size (tasks = shards * fanout)

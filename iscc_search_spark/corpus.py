@@ -120,7 +120,9 @@ def near_dup_pairs(n_docs: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def write_pages(path: str, n_docs: int, seed: int = 42) -> None:
-    pq.write_table(generate_pages(n_docs, seed), path)
+    # small row groups so Spark can split the file into parallel scan tasks
+    # (a single default-size row group serializes every downstream stage)
+    pq.write_table(generate_pages(n_docs, seed), path, row_group_size=2048)
 
 
 # --- reference query set (FIXTURES.md §2) -----------------------------------

@@ -490,6 +490,71 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len({ARR})) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang"""
 
+    # --- posting intersection: phrase + boolean retrieval (B2/J1) ----------
+    PHRASE = "hash join"
+
+    def b2(spark, sf):
+        docs = _t(spark, sf, "documents")
+        terms = tokenize_py(PHRASE)
+        cand = (
+            _docs_tf(docs)
+            .filter(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nt"))
+            .filter(F.col("nt") == len(set(terms)))
+        )
+        return (
+            docs.join(cand, "doc_id", "left_semi")
+            .filter(F.col("text").contains(PHRASE))
+            .select("doc_id")
+        )
+
+    queries["b2_phrase_intersection"] = b2
+    oracles["b2_phrase_intersection"] = f"""
+WITH toks AS ({TOKS}),
+cand AS (SELECT doc_id FROM toks WHERE term IN ('hash', 'join')
+         GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT d.doc_id FROM documents d JOIN cand USING (doc_id)
+WHERE d.text LIKE '%{PHRASE}%'"""
+
+    def boolq(spark, sf):
+        docs = _t(spark, sf, "documents")
+        from iscc_search_spark.functions.textnorm import tokens_expr
+
+        toks = tokens_expr("text")
+        has = lambda t: F.array_contains(toks, t)  # noqa: E731
+        return docs.filter(
+            (has("batch") & has("dup")) | (has("window") & ~has("stream"))
+        ).select("doc_id")
+
+    queries["bool_and_or_not"] = boolq
+    oracles["bool_and_or_not"] = f"""
+SELECT doc_id FROM documents
+WHERE (list_contains({ARR}, 'batch') AND list_contains({ARR}, 'dup'))
+   OR (list_contains({ARR}, 'window') AND NOT list_contains({ARR}, 'stream'))"""
+
+    # --- ISCC unit string codec (F1/F3 identity feature) --------------------
+    def f1(spark, sf):
+        from iscc_search_spark.functions.iscc_codec import simhash_code_udf
+
+        return f6(spark, sf).select(
+            "doc_id", simhash_code_udf("simhash").alias("iscc")
+        )
+
+    queries["f1_iscc_unit_codes"] = f1
+    alph = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    chars = " || ".join(
+        f"substr('{alph}', CAST((val // CAST('{2 ** (75 - 5 * i)}' AS HUGEINT)) % 32 AS INT) + 1, 1)"
+        for i in range(16)
+    )
+    oracles["f1_iscc_unit_codes"] = f"""{SIMHASH_CTE},
+uv AS (SELECT doc_id,
+              CAST('{0x2001 * 2 ** 64}' AS HUGEINT)
+              + (CASE WHEN simhash < 0 THEN CAST(simhash AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+                      ELSE CAST(simhash AS HUGEINT) END) AS val
+       FROM sh)
+SELECT doc_id, 'ISCC:' || {chars} AS iscc FROM uv"""
+
     # --- relational operator demos over the TPC-H-ish tables ---------------
     def tpch_q1(spark, sf):
         li = _t(spark, sf, "lineitem").filter(

@@ -67,10 +67,21 @@ def tokens_expr(text: Column | str) -> Column:
 
     Returns array<string> of non-empty tokens.  Stays inside whole-stage
     codegen — no Python boundary on the 100 TB hot path.
+
+    Implementation note (measured on 100k docs / 28M tokens, local[32]):
+    a lambda-filter HOF costs 22.7s vs 6.8s for the bare regex split, so
+    empties are avoided by TRIMMING boundary separators before splitting
+    (the split regex consumes whole separator runs, so interior empties
+    cannot occur); the single all-separator edge case is guarded with a
+    scalar `when`.
     """
     col = F.col(text) if isinstance(text, str) else text
-    arr = F.split(F.lower(col), TOKEN_SPLIT_RE)
-    return F.filter(arr, lambda x: x != F.lit(""))
+    trimmed = F.regexp_replace(
+        F.lower(col), "^[^0-9a-z]+|[^0-9a-z]+$", ""
+    )
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, TOKEN_SPLIT_RE)
+    )
 
 
 def doc_len_expr(text: Column | str) -> Column:
@@ -82,3 +93,46 @@ def tokenize_py(text: str) -> list[str]:
     """Single-node reference tokenizer — must agree with tokens_expr."""
     norm = unicodedata.normalize("NFC", text).lower()
     return [t for t in _PY_SPLIT.split(norm) if t]
+
+
+# --- fused tokenize + tf + simhash (the index-build map stage) --------------
+# One Arrow-batched pass per document: term frequencies (doc-local, so NO
+# shuffle is needed to aggregate them) and the simhash in the same kernel.
+# This is the stage the reference runs per ingest batch
+# (usearch/index.py:194-537: postings staged + simprints in one txn).
+
+TOKTF_SCHEMA = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.LongType())),
+        T.StructField("doc_len", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(TOKTF_SCHEMA)
+def tok_tf_simhash_udf(text: pd.Series) -> pd.DataFrame:
+    from collections import Counter
+
+    from iscc_search_spark.functions.simhash import simhash_batch
+
+    import numpy as np
+
+    terms_out, tfs_out, lens_out = [], [], []
+    for t in text:
+        toks = tokenize_py(t) if t is not None else []
+        c = Counter(toks)
+        ts = sorted(c)
+        terms_out.append(np.array(ts, dtype=object))
+        tfs_out.append(np.array([c[x] for x in ts], dtype=np.int64))
+        lens_out.append(len(toks))
+    sh = simhash_batch(terms_out, tfs_out)
+    return pd.DataFrame(
+        {
+            "terms": [list(t) for t in terms_out],
+            "tfs": [list(map(int, t)) for t in tfs_out],
+            "doc_len": lens_out,
+            "simhash": sh,
+        }
+    )

@@ -45,6 +45,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,8 +53,7 @@ from iscc_search_spark.catalog import IndexCatalog
 from iscc_search_spark.config import DEFAULT, EngineConfig
 from iscc_search_spark.functions import codec
 from iscc_search_spark.functions.hashing import doc_id_udf
-from iscc_search_spark.functions.simhash import simhash_udf
-from iscc_search_spark.functions.textnorm import tokens_expr
+from iscc_search_spark.functions.textnorm import tok_tf_simhash_udf
 
 POSTINGS_SCHEMA = (
     "shard int, bucket int, term string, block_id int, n int, "
@@ -202,39 +202,37 @@ def build_segments(
             raise RuntimeError(f"injected failure before group {gi}")
         t0 = time.time()
         pg = pages_p.filter(F.col("part").isin(group))
-        toks = pg.select(
+        # ONE fused Arrow pass per doc: tokenize + tf + doc_len + simhash.
+        # tf is doc-local, so this stage needs NO shuffle at all — the only
+        # shuffle in the whole build is stage B's repartition-by-term.
+        enc = pg.withColumn("tt", tok_tf_simhash_udf("text")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        seg = enc.select(
             "part",
             "doc_id",
-            F.explode(tokens_expr("text")).alias("term"),
-        )
-        tf = toks.groupBy("part", "doc_id", "term").agg(F.count("*").alias("tf"))
-        # dynamic partition overwrite -> idempotent retry per group
-        tf.write.mode("overwrite").partitionBy("part").parquet(cat.segments)
-
-        # docs sidecar for this group: doc_len = sum(tf), simhash from the
-        # (term, tf) vector, url/lang re-joined from the input
-        seg = spark.read.parquet(cat.segments).filter(F.col("part").isin(group))
-        agg = seg.groupBy("part", "doc_id").agg(
-            F.sum("tf").alias("doc_len"),
-            F.collect_list("term").alias("terms"),
-            F.collect_list("tf").alias("tfs"),
-        )
-        agg = agg.select(
+            F.col("tt.doc_len").alias("doc_len"),
+            F.explode(F.arrays_zip("tt.terms", "tt.tfs")).alias("z"),
+        ).select(
             "part",
             "doc_id",
+            F.col("z.terms").alias("term"),
+            F.col("z.tfs").alias("tf"),
             "doc_len",
-            simhash_udf("terms", "tfs").alias("simhash"),
         )
-        meta = pg.select("part", "doc_id", "url", "lang")
-        docs = meta.join(agg, ["part", "doc_id"], "left").select(
+        # dynamic partition overwrite -> idempotent retry per group
+        seg.write.mode("overwrite").partitionBy("part").parquet(cat.segments)
+
+        docs = enc.select(
             "part",
             "doc_id",
             "url",
-            F.coalesce("doc_len", F.lit(0)).alias("doc_len"),
-            F.coalesce("simhash", F.lit(0)).alias("simhash"),
+            F.col("tt.doc_len").alias("doc_len"),
+            F.col("tt.simhash").alias("simhash"),
             "lang",
         )
         docs.write.mode("overwrite").partitionBy("part").parquet(cat.docs)
+        enc.unpersist()
 
         secs = time.time() - t0
         ck = [
@@ -360,10 +358,10 @@ def build_postings(
     avgdl = int(row["s"]) / n_docs if n_docs else 0.0
     k1, b = cfg.bm25.k1, cfg.bm25.b
 
-    lens = docs.select("doc_id", "doc_len")
+    # segments carry doc_len inline (denormalized at stage A) so stage B
+    # needs NO join — the term shuffle is the build's only wide dependency
     postings_in = (
-        seg.join(lens, "doc_id")
-        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
+        seg.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
         .withColumn(
             "tgroup",
             F.pmod(F.xxhash64("term"), F.lit(cfg.build_fanout)).cast("int"),
@@ -374,12 +372,17 @@ def build_postings(
         postings_in.groupBy("shard", "tgroup")
         .applyInPandas(_encode_blocks_fn(cfg, k1, b, avgdl), POSTINGS_SCHEMA)
     )
-    # one file per (shard, bucket) dir: fast bucket-pruned query scans
+    # physical layout: partition dirs by bucket ONLY (the query-time prune
+    # key); shard stays a column — the scorer's groupBy(shard) shuffles the
+    # (tiny, compressed) candidate blocks anyway, and bucket*shard dirs
+    # would explode file-listing cost on the query path.  Within each
+    # bucket file rows are sorted by term so row-group min/max stats prune
+    # non-query terms.
     (
-        blocks.repartition("shard", "bucket")
-        .sortWithinPartitions("term", "block_id")
+        blocks.repartition("bucket")
+        .sortWithinPartitions("term", "shard", "block_id")
         .write.mode("overwrite")
-        .partitionBy("shard", "bucket")
+        .partitionBy("bucket")
         .parquet(cat.postings)
     )
 
