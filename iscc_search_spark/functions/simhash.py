@@ -57,28 +57,63 @@ def _pack_bits(bits_bool: np.ndarray) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
-def simhash_batch(term_lists: list[np.ndarray], tf_lists: list[np.ndarray]) -> np.ndarray:
-    """Vectorized simhash for a batch of docs -> int64 array."""
+def simhash_batch(
+    term_lists: list[np.ndarray],
+    tf_lists: list[np.ndarray],
+    chunk_docs: int = 256,
+) -> np.ndarray:
+    """Vectorized simhash for a batch of docs -> int64 array.
+
+    Processes docs in sub-chunks so the (flat_tokens x 64) sign matrix stays
+    ~10 MB regardless of Arrow batch size — an unchunked 10k-doc batch
+    allocated ~1 GB per Python worker, which collapsed under 32 concurrent
+    workers (measured: stage A 2.4x SLOWER at local[32] than local[8]).
+    """
     n = len(term_lists)
     out = np.zeros(n, dtype=np.int64)
-    if n == 0:
-        return out
-    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in term_lists]) if n else np.empty(0, dtype=object)
-    flat_tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in tf_lists]) if n else np.empty(0, dtype=np.int64)
-    counts = np.array([len(t) for t in term_lists], dtype=np.int64)
-    if flat_terms.size == 0:
-        return out
-    uniq, inv = np.unique(flat_terms.astype(str), return_inverse=True)
-    uh = np.array([term_hash64(t) for t in uniq], dtype=np.uint64)
-    hs = uh[inv]
-    signs = (((hs[:, None] >> _BITPOS[None, :]) & _U1).astype(np.int64) * 2 - 1)
-    weighted = signs * flat_tfs[:, None]
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    nonempty = counts > 0
-    sums = np.add.reduceat(weighted, starts[nonempty], axis=0)
-    bits = sums > 0
-    packed = (bits.astype(np.uint64) << _BITPOS[None, :]).sum(axis=1, dtype=np.uint64)
-    out[nonempty] = packed.view(np.int64)
+    for start in range(0, n, chunk_docs):
+        end = min(start + chunk_docs, n)
+        sub_terms = term_lists[start:end]
+        sub_tfs = tf_lists[start:end]
+        m = end - start
+        counts = np.array([len(t) for t in sub_terms], dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        # hash each (already per-doc-unique) term via the process cache,
+        # then dedupe on the uint64 hashes (C-speed; object-array unique
+        # on strings is the slow path)
+        flat_hash = np.fromiter(
+            (term_hash64(t) for tl in sub_terms for t in tl),
+            dtype=np.uint64,
+            count=total,
+        )
+        flat_tfs = np.concatenate(
+            [np.asarray(t, dtype=np.int64) for t in sub_tfs]
+        ).astype(np.float32)
+        uniq, inv = np.unique(flat_hash, return_inverse=True)
+        bits = ((uniq[:, None] >> _BITPOS[None, :]) & _U1).astype(np.float32)
+        # dense (docs x U) tf matrix -> one BLAS matmul:
+        #   v_j = sum_i tf_i*(2*b_ij - 1) = 2*S_j - doc_len
+        # float32 is exact here (all values integer < 2^24)
+        T = np.zeros((m, len(uniq)), dtype=np.float32)
+        row_idx = np.repeat(np.arange(m), counts)
+        flat_key = row_idx * len(uniq) + inv
+        if len(np.unique(flat_key)) == total:
+            T[row_idx, inv] = flat_tfs  # fast path: per-doc-unique terms
+        else:
+            np.add.at(T, (row_idx, inv), flat_tfs)  # duplicates accumulate
+        S = T @ bits  # (docs, 64)
+        doc_len = np.array(
+            [np.asarray(t, dtype=np.int64).sum() for t in sub_tfs],
+            dtype=np.float32,
+        )
+        v = 2.0 * S - doc_len[:, None]
+        packed = ((v > 0).astype(np.uint64) << _BITPOS[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        nonempty = counts > 0
+        out[start:end][nonempty] = packed.view(np.int64)[nonempty]
     return out
 
 

@@ -86,10 +86,9 @@ def _fingerprints(pages: DataFrame) -> dict[int, tuple[int, int, int]]:
     def row_hash(url: pd.Series, text: pd.Series) -> pd.DataFrame:
         hi = np.empty(len(url), dtype=np.int64)
         lo = np.empty(len(url), dtype=np.int64)
-        for i in range(len(url)):
+        for i, (u, t) in enumerate(zip(url.to_numpy(), text.to_numpy())):
             d = hashlib.blake2b(
-                (url.iloc[i] + "\x00" + text.iloc[i]).encode("utf-8"),
-                digest_size=16,
+                (u + "\x00" + t).encode("utf-8"), digest_size=16
             ).digest()
             hi[i] = int.from_bytes(d[:8], "big", signed=True)
             lo[i] = int.from_bytes(d[8:], "big", signed=True)
@@ -202,11 +201,16 @@ def build_segments(
             raise RuntimeError(f"injected failure before group {gi}")
         t0 = time.time()
         pg = pages_p.filter(F.col("part").isin(group))
-        # ONE fused Arrow pass per doc: tokenize + tf + doc_len + simhash.
-        # tf is doc-local, so this stage needs NO shuffle at all — the only
-        # shuffle in the whole build is stage B's repartition-by-term.
-        enc = pg.withColumn("tt", tok_tf_simhash_udf("text")).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # Cluster rows by part BEFORE the fused UDF: each write task then
+        # owns exactly one part dir -> one file per partition (measured: 41
+        # tasks x 32 dirs produced ~1300 tiny files whose driver-side commit
+        # and later listing erased all scaling).  The raw-text shuffle is
+        # cheap; the expensive tokenize pass runs once, after it, and is
+        # persisted for the two writes.
+        enc = (
+            pg.repartition(len(group), "part")
+            .withColumn("tt", tok_tf_simhash_udf("text"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         seg = enc.select(
             "part",

@@ -22,6 +22,11 @@ def get_spark(
     # Python workers are separate processes: they need this package on their
     # path (cluster deploys use ``spark-submit --py-files``; local mode
     # inherits the driver env, so exporting PYTHONPATH suffices).
+    # numpy kernels inside Arrow workers must not spawn BLAS thread pools:
+    # 32 workers x N BLAS threads oversubscribes the box (workers inherit
+    # this env in local mode)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pp = os.environ.get("PYTHONPATH", "")
     if pkg_parent not in pp.split(os.pathsep):
