@@ -36,13 +36,18 @@ def run_at(cores: int, pages_path: str, queries: dict[int, str], work: str) -> d
     try:
         pages = spark.read.parquet(pages_path)
         n_docs = pages.count()
-        idx = os.path.join(work, f"index_c{cores}")
-        t0 = time.time()
-        build_index(
-            spark, pages, idx, cfg=EngineConfig(),
-            n_parts=N_PARTS, n_shards=N_SHARDS, group_size=N_PARTS, resume=False,
-        )
-        build_secs = time.time() - t0
+        # best-of-2: single-box timings vary up to 1.7x run-to-run (noisy
+        # neighbors); capability is the minimum
+        build_secs = float("inf")
+        for rep in range(2):
+            idx = os.path.join(work, f"index_c{cores}")
+            t0 = time.time()
+            build_index(
+                spark, pages, idx, cfg=EngineConfig(),
+                n_parts=N_PARTS, n_shards=N_SHARDS, group_size=N_PARTS,
+                resume=False,
+            )
+            build_secs = min(build_secs, time.time() - t0)
 
         # warm-up, then median of 3 reps (single-box timings are noisy)
         bm25_wand_topk_batch(spark, idx, {0: queries[0]}, k=10).collect()

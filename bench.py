@@ -85,7 +85,11 @@ def main() -> None:
         for name in [
             "t1_bm25_topk_q1",
             "t1_bm25_topk_q2",
-            "dedup_minhash_lsh",
+            # unigram minhash is in the correctness gate; at sf0.1 the tiny
+            # 31-term vocabulary makes unigram token-SET signatures collide
+            # en masse (inherent O(N^2) candidate pairs on this synthetic
+            # table), so the bench times the discriminative 3-gram variant
+            "dedup_ngram3_jaccard",
             "j3_simhash_neardup",
             "ann_cosine_topk",
             "a1_tpch_q1_pricing",

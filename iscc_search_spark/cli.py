@@ -1,0 +1,109 @@
+"""spark-submit entry points: build / search / stats.
+
+Cluster usage (north rule: ``spark-submit --py-files`` on multi-executor
+clusters)::
+
+    zip -r iscc_search_spark.zip iscc_search_spark
+    spark-submit --py-files iscc_search_spark.zip -m iscc_search_spark.cli \
+        build --pages s3://bucket/pages/ --index s3://bucket/index/
+
+Local sandbox: ``python -m iscc_search_spark.cli build --pages p.parquet
+--index /tmp/idx``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="iscc-search-spark")
+    p.add_argument("--cores", type=int, default=None, help="local[N] threads")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--pages", required=True, help="pages parquet path")
+    b.add_argument("--index", required=True, help="index output dir")
+    b.add_argument("--parts", type=int, default=32)
+    b.add_argument("--shards", type=int, default=32)
+    b.add_argument("--group-size", type=int, default=8)
+    b.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("search", help="BM25 top-k query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--no-metadata", action="store_true")
+
+    st = sub.add_parser("stats", help="index statistics")
+    st.add_argument("--index", required=True)
+
+    nd = sub.add_parser("neardup", help="simhash near-duplicate pairs")
+    nd.add_argument("--index", required=True)
+    nd.add_argument("--max-hamming", type=int, default=6)
+
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from iscc_search_spark.session import get_spark
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name=f"iscc-search-{args.cmd}", cores=args.cores)
+    try:
+        if args.cmd == "build":
+            from iscc_search_spark.operators.build import build_index
+
+            pages = spark.read.parquet(args.pages)
+            res = build_index(
+                spark,
+                pages,
+                args.index,
+                n_parts=args.parts,
+                n_shards=args.shards,
+                group_size=args.group_size,
+                resume=not args.no_resume,
+            )
+            print(
+                json.dumps(
+                    {
+                        "n_docs": res.n_docs,
+                        "avgdl": res.avgdl,
+                        "parts_built": res.parts_built,
+                        "parts_skipped": res.parts_skipped,
+                        "secs": round(res.secs, 2),
+                        "docs_per_sec": round(res.n_docs / res.secs, 1)
+                        if res.secs
+                        else None,
+                    }
+                )
+            )
+        elif args.cmd == "search":
+            from iscc_search_spark.plans.search import SearchIndex
+
+            idx = SearchIndex(spark, args.index)
+            rows = idx.search(
+                args.query, k=args.k, with_metadata=not args.no_metadata
+            ).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+        elif args.cmd == "stats":
+            from iscc_search_spark.plans.search import SearchIndex
+
+            print(json.dumps(SearchIndex(spark, args.index).stats(), default=str))
+        elif args.cmd == "neardup":
+            from iscc_search_spark.plans.search import SearchIndex
+
+            idx = SearchIndex(spark, args.index)
+            for r in idx.near_duplicates(args.max_hamming).collect():
+                print(json.dumps(r.asDict()))
+    finally:
+        if not pre_existing:  # embedded callers keep their session
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,6 +32,43 @@ def unzigzag(u: np.ndarray) -> np.ndarray:
     return ((u >> _U64(1)) ^ (_U64(0) - (u & _U64(1)))).view(np.int64)
 
 
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
+    v = values.astype(np.uint64, copy=True)
+    bits = np.zeros(len(v), dtype=np.int64)
+    nonzero = v != 0
+    while nonzero.any():
+        bits[nonzero] += 1
+        v >>= _U64(7)
+        nonzero = v != 0
+    return np.maximum(bits, 1)
+
+
+def varbyte_encode_batch(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array; returns (buffer, per-value byte offsets of
+    length n+1) so callers can slice out contiguous sub-ranges — the
+    whole-group encode path (one vectorized pass for ~10^5 blocks instead
+    of one numpy call per block)."""
+    n = len(values)
+    if n == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    nbytes = varbyte_lengths(values)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    pos = offsets[:-1]
+    rem = values.astype(np.uint64, copy=True)
+    for k in range(_MAX_VARBYTE_LEN):
+        mask = nbytes > k
+        if not mask.any():
+            break
+        byte = (rem[mask] & _U64(0x7F)).astype(np.uint8)
+        more = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[pos[mask] + k] = byte | more
+        rem[mask] >>= _U64(7)
+    return out.tobytes(), offsets
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """LEB128 encode a uint64 array (vectorized over byte positions)."""
     v = values.astype(np.uint64, copy=True)
@@ -108,6 +145,20 @@ def decode_doc_ids(buf: bytes) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     u = np.cumsum(codes, dtype=np.uint64)
     return (u ^ _SIGN_BIT).view(np.int64)
+
+
+def doc_id_delta_codes(doc_ids: np.ndarray, block_starts: np.ndarray) -> np.ndarray:
+    """uint64 delta codes for a CONCATENATION of ascending blocks: each
+    block restarts with its raw (sign-flipped) first value; within-block
+    positions carry deltas.  Feed to varbyte_encode_batch and slice per
+    block — the vectorized whole-group encode path."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    u = d.view(np.uint64) ^ _SIGN_BIT
+    codes = np.empty(len(u), dtype=np.uint64)
+    if len(u):
+        codes[1:] = u[1:] - u[:-1]
+        codes[block_starts] = u[block_starts]
+    return codes
 
 
 def encode_tfs(tfs: np.ndarray) -> bytes:

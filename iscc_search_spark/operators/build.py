@@ -45,7 +45,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -205,12 +204,11 @@ def build_segments(
         # owns exactly one part dir -> one file per partition (measured: 41
         # tasks x 32 dirs produced ~1300 tiny files whose driver-side commit
         # and later listing erased all scaling).  The raw-text shuffle is
-        # cheap; the expensive tokenize pass runs once, after it, and is
-        # persisted for the two writes.
-        enc = (
-            pg.repartition(len(group), "part")
-            .withColumn("tt", tok_tf_simhash_udf("text"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # cheap.  The UDF runs twice (segments + docs actions) on purpose:
+        # recomputing it is cheaper than pushing multi-GB token arrays
+        # through the block manager (persist measurably hurt at 16+ workers).
+        enc = pg.repartition(len(group), "part").withColumn(
+            "tt", tok_tf_simhash_udf("text")
         )
         seg = enc.select(
             "part",
@@ -236,7 +234,6 @@ def build_segments(
             "lang",
         )
         docs.write.mode("overwrite").partitionBy("part").parquet(cat.docs)
-        enc.unpersist()
 
         secs = time.time() - t0
         ck = [
@@ -308,25 +305,45 @@ def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
         uniq_terms = terms[term_start_idx]
         bucket_map = {t: _bucket_of(t, n_buckets) for t in uniq_terms}
 
-        rows = {
-            "shard": [], "bucket": [], "term": [], "block_id": [], "n": [],
-            "min_doc": [], "max_doc": [], "doc_ids": [], "tfs": [], "dls": [],
-            "block_max_tfnorm": [],
-        }
-        for s, e in zip(block_starts, block_ends):
-            t = terms[s]
-            rows["shard"].append(shard)
-            rows["bucket"].append(bucket_map[t])
-            rows["term"].append(t)
-            rows["block_id"].append(int(pos_in_term[s]) // block_size)
-            rows["n"].append(int(e - s))
-            rows["min_doc"].append(int(doc_ids[s]))
-            rows["max_doc"].append(int(doc_ids[e - 1]))
-            rows["doc_ids"].append(codec.encode_doc_ids(doc_ids[s:e]))
-            rows["tfs"].append(codec.encode_tfs(tfs[s:e]))
-            rows["dls"].append(codec.encode_tfs(dls[s:e]))
-            rows["block_max_tfnorm"].append(float(tfnorm[s:e].max()))
-        return pd.DataFrame(rows)
+        # whole-group vectorized encode: ONE varbyte pass each for doc-id
+        # deltas / tfs / dls, then per-block buffer slices (a per-block
+        # numpy-call loop was the dominant stage-B cost at ~10^5 blocks)
+        id_buf, id_off = codec.varbyte_encode_batch(
+            codec.doc_id_delta_codes(doc_ids, block_starts)
+        )
+        tf_buf, tf_off = codec.varbyte_encode_batch(tfs.view(np.uint64))
+        dl_buf, dl_off = codec.varbyte_encode_batch(dls.view(np.uint64))
+        bmax = np.maximum.reduceat(tfnorm, block_starts)
+
+        term_col = terms[block_starts]
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(block_starts), shard, dtype=np.int32),
+                "bucket": np.array(
+                    [bucket_map[t] for t in term_col], dtype=np.int32
+                ),
+                "term": term_col,
+                "block_id": (pos_in_term[block_starts] // block_size).astype(
+                    np.int32
+                ),
+                "n": (block_ends - block_starts).astype(np.int32),
+                "min_doc": doc_ids[block_starts],
+                "max_doc": doc_ids[block_ends - 1],
+                "doc_ids": [
+                    id_buf[id_off[s] : id_off[e]]
+                    for s, e in zip(block_starts, block_ends)
+                ],
+                "tfs": [
+                    tf_buf[tf_off[s] : tf_off[e]]
+                    for s, e in zip(block_starts, block_ends)
+                ],
+                "dls": [
+                    dl_buf[dl_off[s] : dl_off[e]]
+                    for s, e in zip(block_starts, block_ends)
+                ],
+                "block_max_tfnorm": bmax,
+            }
+        )
 
     return encode
 
