@@ -39,12 +39,11 @@ class EngineConfig:
       per-block max-score metadata (block-max WAND), the Spark analogue of the
       reference's sorted dupsort pages + threshold pruning
       (iscc_search/indexes/lmdb/index.py:408-416).
-    - ``salt_df_threshold`` / ``n_salts``: terms with document frequency above
-      the threshold are salted into ``n_salts`` sub-postings on the build
-      shuffle so no single reducer owns a Zipf head term (replaces the
-      reference's lossy dup_limit=1000 cap, lmdb_ops.py:139-166, without
-      losing exactness — sub-postings are disjoint doc_id ranges and merge
-      losslessly at read).
+    - head-term salting is structural: every posting list is split across
+      ``n_shards`` disjoint doc-hash shards (operators/build.py), plus the
+      ``build_fanout`` term-group split on the encode shuffle — no single
+      reducer ever owns a whole Zipf head term (replaces the reference's
+      lossy dup_limit=1000 cap, lmdb_ops.py:139-166, losslessly).
     - ``term_buckets``: postings are written partitioned by
       ``pmod(hash(term), term_buckets)`` so a query touches only the buckets
       of its own terms (partition pruning; per-type vertical layout as in
@@ -52,8 +51,6 @@ class EngineConfig:
     """
 
     block_size: int = 128
-    salt_df_threshold: int = 100_000
-    n_salts: int = 16
     term_buckets: int = 16
     # secondary split of the term space on the build shuffle: encode groups
     # are (shard, pmod(hash(term), build_fanout)) so no reducer materializes

@@ -1,0 +1,62 @@
+"""Physical-plan assertions: the properties the 100 TB story depends on
+must be visible in `explain("formatted")` (SURVEY.md §4)."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from iscc_search_spark.catalog import IndexCatalog
+from iscc_search_spark.operators.build import _bucket_of
+from iscc_search_spark.operators.query import doc_term_tf
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, pages_df, tmp_path_factory):
+    from iscc_search_spark.config import EngineConfig
+    from iscc_search_spark.operators.build import build_index
+
+    d = str(tmp_path_factory.mktemp("plan_idx"))
+    build_index(spark, pages_df, d, cfg=EngineConfig(), n_parts=4, n_shards=4, group_size=4)
+    return d
+
+
+def test_posting_scan_prunes_buckets_and_pushes_terms(spark, index_dir):
+    cat = IndexCatalog(index_dir)
+    meta = cat.read_meta()
+    terms = ["t00001", "t00007"]
+    buckets = sorted({_bucket_of(t, int(meta["term_buckets"])) for t in terms})
+    blocks = spark.read.parquet(cat.postings).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    p = plan_of(blocks)
+    assert "PartitionFilters" in p  # bucket dirs pruned
+    assert "PushedFilters: [In(term" in p  # term filter reaches parquet
+
+
+def test_topk_enrichment_broadcasts(spark, index_dir):
+    cat = IndexCatalog(index_dir)
+    docs = spark.read.parquet(cat.docs)
+    topk = docs.select("doc_id").limit(10)
+    p = plan_of(topk.join(docs, "doc_id", "left"))
+    assert "BroadcastHashJoin" in p
+
+
+def test_projection_prunes_read_schema(spark, index_dir):
+    cat = IndexCatalog(index_dir)
+    p = plan_of(spark.read.parquet(cat.docs).select("doc_id", "doc_len"))
+    assert "ReadSchema: struct<doc_id:bigint,doc_len:bigint>" in p
+
+
+def test_tf_agg_has_mapside_combine(spark):
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    p = plan_of(doc_term_tf(docs))
+    assert "partial_count" in p and "Exchange" in p

@@ -34,6 +34,16 @@ def test_tokens_expr_matches_python_on_ascii(spark):
         assert row["toks"] == tokenize_py(text), text
 
 
+def test_tokenizer_parity_full_corpus(spark, pages_df):
+    """tokens_expr == tokenize_py token-for-token on every corpus doc."""
+    rows = (
+        pages_df.select("url", "text", tokens_expr("text").alias("toks"))
+        .collect()
+    )
+    for r in rows:
+        assert r["toks"] == tokenize_py(r["text"]), r["url"]
+
+
 def test_extract_text_roundtrip(spark, pages_df):
     """input_hint invariant: extracting text from html reproduces `text`
     byte-identically per url, for every row."""
