@@ -555,6 +555,61 @@ uv AS (SELECT doc_id,
        FROM sh)
 SELECT doc_id, 'ISCC:' || {chars} AS iscc FROM uv"""
 
+    # --- chunk-level (granular) simprint search (A6/A7/B2 family) ----------
+    # fixed 64-token query (2 segments) over the testdata vocabulary; its
+    # segment simhashes are computed here in Python and inlined into the
+    # oracle SQL as literals (deterministic — no data access at build time)
+    GRANULAR_QUERY = (
+        "batch dup scan merge window sort query data spark filter "
+        "hash join stream value column row table big small slow fast "
+        "the a key order line part customer vector agg dup batch scan "
+        "merge window sort query data spark filter hash join stream value "
+        "column row table big small slow fast the a key order line part "
+        "customer vector agg dup batch"
+    )
+
+    def a7(spark, sf):
+        from iscc_search_spark.operators.simprints import granular_topk
+
+        docs = _t(spark, sf, "documents")
+        out = granular_topk(docs, GRANULAR_QUERY, k=10, max_hamming=12)
+        return out.withColumn("score", F.round("score", 6))
+
+    queries["a7_granular_simprint_search"] = a7
+
+    from iscc_search_spark.operators.simprints import segment_simhashes_py
+
+    qsegs = segment_simhashes_py(GRANULAR_QUERY)
+    qvals = ", ".join(f"({s}, CAST({h} AS BIGINT))" for s, _, h in qsegs)
+    seg_sh_cte = f"""
+WITH base AS (SELECT doc_id, {ARR} AS arr FROM documents),
+segs AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(arr) / 32.0) AS INT))) AS seg_idx, arr FROM base),
+st AS (SELECT doc_id, seg_idx, unnest(arr[seg_idx * 32 + 1 : (seg_idx + 1) * 32]) AS term FROM segs),
+tf AS (SELECT doc_id, seg_idx, term, CAST(count(*) AS BIGINT) AS tf FROM st GROUP BY doc_id, seg_idx, term),
+th AS (SELECT doc_id, seg_idx, tf, md5(term) AS h FROM tf),
+bb AS (SELECT doc_id, seg_idx, i,
+              sum(tf * (2 * (((strpos('0123456789abcdef', h[(i // 4) + 1]) - 1) >> (3 - (i % 4))) & 1) - 1)) AS v
+       FROM th, (SELECT unnest(range(0, 64)) AS i) bits
+       GROUP BY doc_id, seg_idx, i),
+ssh AS (SELECT doc_id, seg_idx,
+               CAST(sum(CASE WHEN i = 0 AND v > 0 THEN CAST(-9223372036854775808 AS HUGEINT)
+                             WHEN i > 0 AND v > 0 THEN CAST(CAST(1 AS BIGINT) << (63 - i) AS HUGEINT)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bb GROUP BY doc_id, seg_idx)"""
+    oracles["a7_granular_simprint_search"] = f"""{seg_sh_cte},
+q AS (SELECT * FROM (VALUES {qvals}) q(q_seg, q_sim)),
+m AS (SELECT doc_id, q_seg,
+             max({_d(1.0)} - CAST(bit_count(xor(simhash, q_sim)) AS DOUBLE) / {_d(64.0)}) AS best
+      FROM ssh JOIN q ON bit_count(xor(simhash, q_sim)) <= 12
+      GROUP BY doc_id, q_seg),
+sc AS (SELECT doc_id, sum(best) / {_d(float(len(qsegs)))} AS score,
+              CAST(count(*) AS BIGINT) AS n_matched_segs
+       FROM m GROUP BY doc_id)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(score, 6) AS score, n_matched_segs FROM (
+  SELECT doc_id, score, n_matched_segs,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= 10"""
+
     # --- relational operator demos over the TPC-H-ish tables ---------------
     def tpch_q1(spark, sf):
         li = _t(spark, sf, "lineitem").filter(

@@ -1,0 +1,76 @@
+"""Granular simprint search vs a python brute-force oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iscc_search_spark.operators.simprints import (
+    granular_topk,
+    segment_simhashes_py,
+    simprints_table,
+)
+
+SF = "/root/testdata/sf0.001"
+QUERY = (
+    "batch dup scan merge window sort query data spark filter "
+    "hash join stream value column row table big small slow fast "
+    "the a key order line part customer vector agg dup batch scan "
+    "merge window sort query data spark filter hash join stream value "
+    "column row table big small slow fast the a key order line part "
+    "customer vector agg dup batch"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+def test_simprints_table_matches_python(spark, docs):
+    rows = docs.select("doc_id", "text").collect()
+    want = {
+        (r["doc_id"], s, n): h
+        for r in rows
+        for s, n, h in segment_simhashes_py(r["text"])
+    }
+    got = {
+        (r["doc_id"], r["seg_idx"], r["n_tokens"]): r["simhash"]
+        for r in simprints_table(docs).collect()
+    }
+    assert got == want
+
+
+def test_granular_topk_matches_bruteforce(spark, docs):
+    rows = docs.select("doc_id", "text").collect()
+    qsegs = segment_simhashes_py(QUERY)
+    n_q = len(qsegs)
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    scores = {}
+    for r in rows:
+        best: dict[int, float] = {}
+        for _, _, dh in segment_simhashes_py(r["text"]):
+            for qi, _, qh in qsegs:
+                h = ham(dh, qh)
+                if h <= 12:
+                    sim = 1.0 - h / 64.0
+                    if sim > best.get(qi, -1.0):
+                        best[qi] = sim
+        if best:
+            scores[r["doc_id"]] = (sum(best.values()) / n_q, len(best))
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+
+    got = [
+        (r["doc_id"], (r["score"], r["n_matched_segs"]))
+        for r in granular_topk(docs, QUERY, k=10, max_hamming=12).orderBy("rank").collect()
+    ]
+    assert [(d, s) for d, (s, _) in want] == [(d, s) for d, (s, _) in got]
+    assert [n for _, (_, n) in want] == [n for _, (_, n) in got]
+    assert want, "query should match segments in the corpus"
+
+
+def test_granular_empty_query(spark, docs):
+    assert granular_topk(docs, "???", k=5).count() == 0
