@@ -49,7 +49,11 @@ def run_at(cores: int, pages_path: str, queries: dict[int, str], work: str) -> d
             )
             build_secs = min(build_secs, time.time() - t0)
 
-        # warm-up, then median of 3 reps (single-box timings are noisy)
+        # open the index once (serving-process model: meta + stats cache +
+        # listing amortized), warm up, then median of 3 reps (noisy box)
+        from iscc_search_spark.operators.wand import IndexReader
+
+        idx = IndexReader(spark, idx)
         bm25_wand_topk_batch(spark, idx, {0: queries[0]}, k=10).collect()
         reps = []
         for _ in range(3):

@@ -66,17 +66,20 @@ def main() -> None:
         extra["build_docs_per_sec"] = round(bench_docs / timings["index_build_pages"], 1)
 
         # 2) BM25 top-10 over the compressed index (block-max WAND path):
-        #    one cold single query (latency), then a 64-query batch (throughput)
-        from iscc_search_spark.operators.wand import bm25_wand_topk_batch
+        #    open the index ONCE (meta + driver stats cache + file listing,
+        #    the serving-process model), then one single query (latency) and
+        #    a 64-query batch (throughput)
+        from iscc_search_spark.operators.wand import IndexReader, bm25_wand_topk_batch
 
         wand_queries = corpus.generate_queries(70)[:64]
+        reader = timed("index_open", lambda: IndexReader(spark, idx_dir))
         timed(
             "bm25_wand_single",
-            lambda: bm25_wand_topk(spark, idx_dir, wand_queries[0], k=10).collect(),
+            lambda: bm25_wand_topk(spark, reader, wand_queries[0], k=10).collect(),
         )
         t0 = time.time()
         bm25_wand_topk_batch(
-            spark, idx_dir, dict(enumerate(wand_queries)), k=10
+            spark, reader, dict(enumerate(wand_queries)), k=10
         ).collect()
         timings["bm25_wand_batch64"] = round(time.time() - t0, 3)
         extra["bm25_queries_per_sec"] = round(64 / timings["bm25_wand_batch64"], 2)

@@ -4,14 +4,15 @@ Production target is Iceberg (snapshot-isolated commits per partition write,
 replacing the reference's LMDB write txn, SURVEY.md §3.3); this image has no
 Iceberg runtime jar, so tables are plain parquet directories with the same
 logical layout.  The architecture keeps the reference's consistency model
-(docs/explanation/architecture.md:117-118): ``segments`` is the rebuildable
-source-of-truth, everything else is derived and re-creatable from it.
+(docs/explanation/architecture.md:117-118): ``docs`` is the rebuildable
+source-of-truth (tokenized pages: terms/tfs/positions arrays + simhash +
+fingerprint columns), everything else is derived and re-creatable from it.
 
     <index_dir>/
-      segments/part=N/        (doc_id, term, tf)         source of truth
-      docs/part=N/            (doc_id, url, doc_len, simhash, lang) sidecar
-      postings/shard=S/bucket=B/  compressed posting blocks
-      term_stats/bucket=B/    (term, df, max_tfnorm)     global exact stats
+      docs/part=N/            (doc_id, url, lang, h1, h2, doc_len, simhash,
+                               terms, tfs, positions)    source of truth
+      postings/bucket=B/      compressed posting blocks (FOR + varbyte)
+      term_stats/bucket=B/    (term, df)                 global exact stats
       meta.json               (n_docs, avgdl, config, lineage)
       _checkpoints/           per-input-partition fingerprints (resumability)
       _metrics/               build lineage + throughput rows
@@ -29,10 +30,6 @@ class IndexCatalog:
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
-
-    @property
-    def segments(self) -> str:
-        return self.path("segments")
 
     @property
     def docs(self) -> str:

@@ -199,6 +199,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# one real index build per sf_dir, shared by every index-backed gate
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _built_index(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _INDEX_CACHE:
+        import tempfile
+
+        from iscc_search_spark.operators.build import build_index
+
+        d = tempfile.mkdtemp(prefix="entry_index_")
+        build_index(
+            spark,
+            _t(spark, sf_dir, "documents"),
+            d,
+            n_parts=8,
+            n_shards=8,
+            group_size=8,
+        )
+        _INDEX_CACHE[sf_dir] = d
+    return _INDEX_CACHE[sf_dir]
+
+
 def _docs_tf(docs: DataFrame) -> DataFrame:
     return doc_term_tf(docs, "text", "doc_id")
 
@@ -383,8 +406,10 @@ FROM keyed k JOIN grp g USING (dup_key)"""
     oracles["f6_doc_simhash"] = SIMHASH_CTE + "\nSELECT doc_id, simhash FROM sh"
 
     def j3(spark, sf):
+        # max_hamming=7 with 8 bands: exact pigeonhole recall (a threshold
+        # equal to the band count would silently miss one-bit-per-band pairs)
         docs_sh = f6(spark, sf)
-        return neardup.simhash_neardup_pairs(docs_sh, max_hamming=8)
+        return neardup.simhash_neardup_pairs(docs_sh, max_hamming=7)
 
     queries["j3_simhash_neardup"] = j3
     shifts = ", ".join(str(2 ** (8 * b)) for b in range(8))
@@ -399,7 +424,7 @@ cand AS (SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2, l.simhash AS s1, r.
          FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
 SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming,
        {_d(1.0)} - CAST(bit_count(xor(s1, s2)) AS DOUBLE) / {_d(64.0)} AS score
-FROM cand WHERE bit_count(xor(s1, s2)) <= 8"""
+FROM cand WHERE bit_count(xor(s1, s2)) <= 7"""
 
     # --- ANN over embeddings (J3 similarity-join family) -------------------
     def annq(spark, sf):
@@ -516,6 +541,23 @@ cand AS (SELECT doc_id FROM toks WHERE term IN ('hash', 'join')
          GROUP BY doc_id HAVING count(DISTINCT term) = 2)
 SELECT d.doc_id FROM documents d JOIN cand USING (doc_id)
 WHERE d.text LIKE '%{PHRASE}%'"""
+
+    # --- phrase answered from positional postings alone (true B2) ----------
+    # builds a REAL index over the documents table and intersects the query
+    # terms' position payloads; the oracle recomputes token positions in SQL
+    # (zipped unnest) — no text re-scan on either side
+    def b2p(spark, sf):
+        from iscc_search_spark.operators.phrase import phrase_match
+
+        return phrase_match(spark, _built_index(spark, sf), PHRASE)
+
+    queries["b2_phrase_positions"] = b2p
+    oracles["b2_phrase_positions"] = f"""
+WITH base AS (SELECT doc_id, {ARR} AS arr FROM documents),
+tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos FROM base)
+SELECT DISTINCT t0.doc_id FROM tp t0
+JOIN tp t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+WHERE t0.term = 'hash' AND t1.term = 'join'"""
 
     def boolq(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -679,9 +721,12 @@ SELECT CAST(rank AS BIGINT) AS rank, o_orderkey, o_custkey, o_totalprice FROM (
         ).select("c_custkey", "c_name")
 
     queries["u4_customers_without_orders"] = u4
+    # NOT EXISTS, not NOT IN: anti-join keeps all customers when o_custkey
+    # contains NULLs, NOT IN returns zero rows — NOT EXISTS matches the
+    # Spark left_anti null semantics
     oracles["u4_customers_without_orders"] = (
-        "SELECT c_custkey, c_name FROM customer "
-        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
     )
 
     def b3(spark, sf):

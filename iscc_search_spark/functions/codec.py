@@ -1,4 +1,5 @@
-"""Posting-list codec: docID delta + varbyte, numpy-vectorized.
+"""Posting-list codecs: docID delta + varbyte AND frame-of-reference (FOR)
+bitpacking, numpy-vectorized.
 
 The compressed-posting analogue of the reference's LMDB dupsort pages
 (sorted duplicate doc-id runs per term key,
@@ -167,3 +168,93 @@ def encode_tfs(tfs: np.ndarray) -> bytes:
 
 def decode_tfs(buf: bytes) -> np.ndarray:
     return varbyte_decode(buf).view(np.int64)
+
+
+# --- frame-of-reference bitpacking ------------------------------------------
+# Per block: [1 header byte = bit width w][ceil(n*w/8) payload bytes], values
+# packed MSB-first at the block's max bit width.  Denser than varbyte when
+# values are near-uniform (sorted-hash doc-id deltas, tfs, doc lens): a tf of
+# 1..15 costs 4 bits instead of varbyte's 8, a ~2^45 doc-id delta 45-46 bits
+# instead of 56.  Empty blocks encode to zero bytes.
+
+
+def bit_lengths(values: np.ndarray) -> np.ndarray:
+    """Bit length per uint64 value (0 -> 0), vectorized."""
+    v = values.astype(np.uint64, copy=True)
+    out = np.zeros(len(v), dtype=np.int64)
+    nz = v != 0
+    while nz.any():
+        out[nz] += 1
+        v >>= _U64(1)
+        nz = v != 0
+    return out
+
+
+def for_pack_batch(
+    values: np.ndarray, block_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """FOR-pack a concatenation of blocks in ONE vectorized pass.
+
+    Returns (buffer, byte offsets of length n_blocks+1); block b's bytes are
+    buffer[offsets[b]:offsets[b+1]].  The only Python loop is over BIT
+    positions (<= 64 whole-array ops) — same discipline as the varbyte path.
+    """
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(values)
+    starts = np.asarray(block_starts, dtype=np.int64)
+    nb = len(starts)
+    offsets = np.zeros(nb + 1, dtype=np.int64)
+    if nb == 0:
+        return b"", offsets
+    ends = np.append(starts[1:], n)
+    counts = ends - starts
+
+    w = np.zeros(nb, dtype=np.int64)
+    nonempty = counts > 0
+    if nonempty.any():
+        # consecutive nonempty starts delimit exactly the nonempty ranges
+        bl = bit_lengths(values)
+        w[nonempty] = np.maximum(np.maximum.reduceat(bl, starts[nonempty]), 1)
+
+    pay_bytes = (counts * w + 7) // 8
+    np.cumsum(np.where(nonempty, 1 + pay_bytes, 0), out=offsets[1:])
+
+    if n == 0:
+        return b"", offsets
+
+    # flat payload bit array: value j of block b occupies bits
+    # [base_b + pos_j*w_b, base_b + (pos_j+1)*w_b), MSB first
+    pay_bit_base = np.zeros(nb, dtype=np.int64)
+    np.cumsum(pay_bytes[:-1] * 8, out=pay_bit_base[1:])
+    blk_of = np.repeat(np.arange(nb), counts)
+    pos_in_blk = np.arange(n) - np.repeat(starts, counts)
+    vw = w[blk_of]
+    bit_start = pay_bit_base[blk_of] + pos_in_blk * vw
+    bits = np.zeros(int(pay_bytes.sum()) * 8, dtype=np.uint8)
+    for k in range(int(w.max())):
+        m = vw > k
+        shift = (vw[m] - 1 - k).astype(np.uint64)
+        bits[bit_start[m] + k] = ((values[m] >> shift) & _U64(1)).astype(np.uint8)
+    packed = np.packbits(bits)
+
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    out[offsets[:-1][nonempty]] = w[nonempty].astype(np.uint8)
+    pay_byte_base = np.zeros(nb, dtype=np.int64)
+    np.cumsum(pay_bytes[:-1], out=pay_byte_base[1:])
+    # payload byte -> output position: per-block constant shift
+    shift_b = offsets[:-1] + 1 - pay_byte_base
+    out[np.arange(len(packed)) + np.repeat(shift_b, pay_bytes)] = packed
+    return out.tobytes(), offsets
+
+
+def for_unpack(buf: bytes, n: int) -> np.ndarray:
+    """Decode one FOR block of n values -> uint64 (exact for any width)."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    w = int(b[0])
+    bits = np.unpackbits(b[1:])[: n * w].reshape(n, w)
+    full = np.zeros((n, 64), dtype=np.uint8)
+    full[:, 64 - w :] = bits
+    by = np.packbits(full, axis=1)  # (n, 8) big-endian bytes
+    return by.view(">u8").reshape(n).astype(np.uint64)

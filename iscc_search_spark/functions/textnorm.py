@@ -95,43 +95,66 @@ def tokenize_py(text: str) -> list[str]:
     return [t for t in _PY_SPLIT.split(norm) if t]
 
 
-# --- fused tokenize + tf + simhash (the index-build map stage) --------------
-# One Arrow-batched pass per document: term frequencies (doc-local, so NO
-# shuffle is needed to aggregate them) and the simhash in the same kernel.
-# This is the stage the reference runs per ingest batch
-# (usearch/index.py:194-537: postings staged + simprints in one txn).
+# --- fused tokenize + tf + positions + simhash (the index-build map stage) --
+# One Arrow-batched pass per document: term frequencies AND per-term token
+# positions (doc-local, so NO shuffle is needed to aggregate them) and the
+# simhash in the same kernel.  This is the stage the reference runs per
+# ingest batch (usearch/index.py:194-537: postings staged + simprints in one
+# txn); positions are the analogue of the reference's chunk-pointer posting
+# payload (iscc_search/indexes/simprint/lmdb_ops.py:24-64) and feed
+# phrase/proximity answered from the index alone.
 
 TOKTF_SCHEMA = T.StructType(
     [
         T.StructField("terms", T.ArrayType(T.StringType())),
         T.StructField("tfs", T.ArrayType(T.LongType())),
+        T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType()))),
         T.StructField("doc_len", T.LongType()),
         T.StructField("simhash", T.LongType()),
     ]
 )
 
 
-@F.pandas_udf(TOKTF_SCHEMA)
-def tok_tf_simhash_udf(text: pd.Series) -> pd.DataFrame:
-    from collections import Counter
-
-    from iscc_search_spark.functions.simhash import simhash_batch
-
+def _group_tokens(toks: list[str]):
+    """(sorted unique terms, tfs, per-term ascending positions) via ONE
+    stable argsort — no per-token Python loop."""
     import numpy as np
 
-    terms_out, tfs_out, lens_out = [], [], []
+    if not toks:
+        e = np.empty(0, dtype=object)
+        return e, np.empty(0, dtype=np.int64), []
+    arr = np.array(toks, dtype=object)
+    order = np.argsort(arr, kind="stable")
+    s = arr[order]
+    change = np.empty(len(s), dtype=bool)
+    change[0] = True
+    change[1:] = s[1:] != s[:-1]
+    starts = np.flatnonzero(change)
+    terms = s[starts]
+    tfs = np.diff(np.append(starts, len(s)))
+    # stable sort keeps original (ascending) token indices within each run
+    positions = np.split(order.astype(np.int32), starts[1:])
+    return terms, tfs.astype(np.int64), positions
+
+
+@F.pandas_udf(TOKTF_SCHEMA)
+def tok_tf_simhash_udf(text: pd.Series) -> pd.DataFrame:
+    from iscc_search_spark.functions.simhash import simhash_batch
+
+    terms_out, tfs_out, pos_out, lens_out = [], [], [], []
     for t in text:
         toks = tokenize_py(t) if t is not None else []
-        c = Counter(toks)
-        ts = sorted(c)
-        terms_out.append(np.array(ts, dtype=object))
-        tfs_out.append(np.array([c[x] for x in ts], dtype=np.int64))
+        terms, tfs, positions = _group_tokens(toks)
+        terms_out.append(terms)
+        tfs_out.append(tfs)
+        pos_out.append(positions)
         lens_out.append(len(toks))
     sh = simhash_batch(terms_out, tfs_out)
     return pd.DataFrame(
         {
             "terms": [list(t) for t in terms_out],
             "tfs": [list(map(int, t)) for t in tfs_out],
+            "positions": pos_out,
             "doc_len": lens_out,
             "simhash": sh,
         }

@@ -3,33 +3,44 @@
 Two stages, mirroring the reference's "LMDB source of truth + rebuildable
 derived indexes" model (docs/explanation/architecture.md:117-118):
 
-Stage A — **segments** (resumable, checkpointed).  Input pages are hashed
-into ``n_parts`` deterministic partitions (pmod(xxhash64(url))); partitions
-are processed in groups, each group committed with a per-partition
-order-independent fingerprint row in ``_checkpoints``.  A re-run skips
+Stage A — **docs** (resumable, checkpointed).  Input pages are hashed into
+``n_parts`` deterministic partitions (pmod(xxhash64(url))); one fused
+Arrow UDF pass tokenizes each page into (terms, tfs, positions, doc_len,
+simhash) and writes a single ``docs`` table partitioned by part — the
+rebuildable source of truth.  Each committed partition gets an
+order-independent content fingerprint row in ``_checkpoints`` (xor of JVM
+xxhash64(url,text) per row — pure codegen, no Python); a re-run skips
 fingerprint-matched partitions — the Spark analogue of the reference's
 idempotent no-op fast path (iscc_search/indexes/usearch/index.py:311-336,
-564-587: BLAKE2b over sorted simprint triples; here xor-combined BLAKE2b
-over (url, text) rows, equally order-independent).
+564-587: BLAKE2b over sorted simprint triples; equally order-independent).
+On a FRESH build (no checkpoints) the input pre-scan is skipped entirely:
+fingerprints are aggregated from the just-written docs table (row hashes
+are computed JVM-side in the same job that writes), so the corpus is read
+and tokenized exactly ONCE.
 
-Stage B — **postings + docs + term_stats** (derived, deterministic,
-idempotent full overwrite from segments).  Document-sharded layout: every
-doc belongs to shard pmod(xxhash64(doc_id), n_shards); each (shard, term)
-posting run is sorted ascending by doc_id and packed into fixed-size blocks
-(delta+varbyte doc_ids, varbyte tfs, varbyte doc_lens) with per-block
-max-impact metadata (block-max WAND).  Doc-sharding IS the head-term
-salting demanded by the north rule: a Zipf head term's postings are split
-across all shards by a deterministic, score-invisible doc hash and merge
-losslessly at query time (replacing the reference's lossy dup_limit=1000
-cap, iscc_search/indexes/simprint/lmdb_ops.py:139-166).
+Stage B — **postings + term_stats + meta** (derived, deterministic,
+idempotent full overwrite from docs).  Document-sharded layout: every doc
+belongs to shard pmod(xxhash64(doc_id), n_shards); each (shard, term)
+posting run is sorted ascending by doc_id and packed into fixed-size
+blocks — FOR-bitpacked doc-id deltas / tfs / doc_lens plus a varbyte
+positions payload (token positions per occurrence, the analogue of the
+reference's chunk-pointer posting values, lmdb_ops.py:24-64) — with
+per-block max-impact metadata (block-max WAND).  Doc-sharding IS the
+head-term salting demanded by the north rule: a Zipf head term's postings
+are split across all shards by a deterministic, score-invisible doc hash
+and merge losslessly at query time (replacing the reference's lossy
+dup_limit=1000 cap, lmdb_ops.py:139-166).  Corpus stats (n_docs, avgdl)
+come from the checkpoint rows — no extra aggregation job — and term_stats
+is derived from the written blocks' metadata columns (a 2-column scan of
+compressed block headers, never a corpus re-scan).
 
 Scale notes (100 TB / 10^12 docs):
-- Stage A is one scan per resume-group writing columnar segments — the
+- Stage A is one scan per resume-group writing columnar docs — the
   expensive tokenize work is checkpointed, never repeated.
 - Stage B shuffles once on (shard, term); AQE splits skewed reducers, and
-  (shard, term) groups exceeding ``group_max_postings`` get an additional
-  deterministic build_salt so no reducer ever materializes an unbounded
-  group (blocks don't require global order — WAND sorts block metadata).
+  the term space is secondarily split by ``build_fanout`` so no reducer
+  ever materializes an unbounded group (blocks don't require global order
+  — WAND sorts block metadata).
 - Posting blocks carry doc_len inline so query scoring never joins the
   docs table (a 10^12-row join per query would dominate latency).
 - All stats are exact (rank-identity forbids approximation).
@@ -57,7 +68,7 @@ from iscc_search_spark.functions.textnorm import tok_tf_simhash_udf
 POSTINGS_SCHEMA = (
     "shard int, bucket int, term string, block_id int, n int, "
     "min_doc long, max_doc long, doc_ids binary, tfs binary, dls binary, "
-    "block_max_tfnorm double"
+    "poss binary, block_max_tfnorm double"
 )
 
 
@@ -70,35 +81,29 @@ class BuildResult:
     secs: float
 
 
-# --- stage A: segments with per-partition checkpoints ------------------------
+# --- stage A: docs with per-partition checkpoints -----------------------------
+
+
+def _row_hash_cols():
+    """Two independent 64-bit JVM row hashes over (url, text) — the
+    fingerprint halves.  Pure codegen: the fingerprint pre-scan costs a
+    columnar read + xxhash64, never a Python round-trip."""
+    return (
+        F.xxhash64("url", "text").alias("h1"),
+        F.xxhash64("text", "url").alias("h2"),
+    )
 
 
 def _fingerprints(pages: DataFrame) -> dict[int, tuple[int, int, int]]:
-    """part -> (xor_hi, xor_lo, n_docs): order-independent content hash."""
-    import pandas as pd  # noqa: F811
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.StructType([
-        T.StructField("hi", T.LongType()),
-        T.StructField("lo", T.LongType()),
-    ]))
-    def row_hash(url: pd.Series, text: pd.Series) -> pd.DataFrame:
-        hi = np.empty(len(url), dtype=np.int64)
-        lo = np.empty(len(url), dtype=np.int64)
-        for i, (u, t) in enumerate(zip(url.to_numpy(), text.to_numpy())):
-            d = hashlib.blake2b(
-                (u + "\x00" + t).encode("utf-8"), digest_size=16
-            ).digest()
-            hi[i] = int.from_bytes(d[:8], "big", signed=True)
-            lo[i] = int.from_bytes(d[8:], "big", signed=True)
-        return pd.DataFrame({"hi": hi, "lo": lo})
-
+    """part -> (xor_h1, xor_h2, n_docs): order-independent content hash,
+    computed entirely JVM-side (used only on RESUME — fresh builds derive
+    fingerprints from the written docs table instead of pre-scanning)."""
+    h1, h2 = _row_hash_cols()
     rows = (
-        pages.withColumn("h", row_hash("url", "text"))
-        .groupBy("part")
+        pages.groupBy("part")
         .agg(
-            F.bit_xor("h.hi").alias("hi"),
-            F.bit_xor("h.lo").alias("lo"),
+            F.bit_xor(h1).alias("hi"),
+            F.bit_xor(h2).alias("lo"),
             F.count("*").alias("n"),
         )
         .collect()
@@ -106,16 +111,26 @@ def _fingerprints(pages: DataFrame) -> dict[int, tuple[int, int, int]]:
     return {int(r["part"]): (int(r["hi"]), int(r["lo"]), int(r["n"])) for r in rows}
 
 
-def _read_checkpoints(spark: SparkSession, cat: IndexCatalog) -> dict[int, tuple[int, int, int]]:
+def _read_checkpoint_rows(spark: SparkSession, cat: IndexCatalog) -> dict[int, dict]:
+    """part -> latest checkpoint row (deterministic: max ``seq`` wins; the
+    append-only dir may hold stale rows from earlier content states).
+
+    Read driver-side via pyarrow: the table is tiny (one row per input
+    partition) and this keeps checkpoint resolution off the Spark job queue
+    (and away from Spark's hidden-path filter on ``_``-prefixed dirs).
+    """
     import glob
     import os
 
-    if not glob.glob(os.path.join(cat.checkpoints, "*.parquet")):
+    files = sorted(glob.glob(os.path.join(cat.checkpoints, "*.parquet")))
+    if not files:
         return {}
-    df = spark.read.parquet(cat.checkpoints)
-    out = {}
-    for r in df.collect():
-        out[int(r["part"])] = (int(r["hi"]), int(r["lo"]), int(r["n_docs"]))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    out: dict[int, dict] = {}
+    for d in t.to_pylist():
+        p = int(d["part"])
+        if p not in out or d["seq"] > out[p]["seq"]:
+            out[p] = d
     return out
 
 
@@ -123,6 +138,8 @@ def _append_checkpoints(cat: IndexCatalog, rows: list[dict]) -> None:
     import os
     import uuid
 
+    if not rows:
+        return
     os.makedirs(cat.checkpoints, exist_ok=True)
     t = pa.table(
         {
@@ -130,10 +147,24 @@ def _append_checkpoints(cat: IndexCatalog, rows: list[dict]) -> None:
             "hi": pa.array([r["hi"] for r in rows], pa.int64()),
             "lo": pa.array([r["lo"] for r in rows], pa.int64()),
             "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+            "sum_dl": pa.array([r["sum_dl"] for r in rows], pa.int64()),
+            "n_parts": pa.array([r["n_parts"] for r in rows], pa.int32()),
+            "seq": pa.array([r["seq"] for r in rows], pa.int64()),
             "secs": pa.array([r["secs"] for r in rows], pa.float64()),
         }
     )
     pq.write_table(t, os.path.join(cat.checkpoints, f"ckpt-{uuid.uuid4().hex}.parquet"))
+
+
+def _compact_checkpoints(cat: IndexCatalog, rows: dict[int, dict]) -> None:
+    """Rewrite the checkpoint dir as one file holding only the live rows."""
+    import glob
+    import os
+
+    old = glob.glob(os.path.join(cat.checkpoints, "*.parquet"))
+    _append_checkpoints(cat, list(rows.values()))
+    for f in old:
+        os.remove(f)
 
 
 def _append_metrics(cat: IndexCatalog, rows: list[dict]) -> None:
@@ -184,17 +215,52 @@ def build_segments(
     ``fail_after_groups`` injects a mid-build crash for the kill/rerun
     resumability test (FIXTURES.md §6).
     """
+    import shutil
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pages_p = _normalize_input(pages).withColumn(
         "part", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
-    want = _fingerprints(pages_p)
-    have = _read_checkpoints(spark, cat) if resume else {}
-    skipped = sorted(p for p in want if have.get(p) == want[p])
-    missing = sorted(p for p in want if have.get(p) != want[p])
+    if not resume:
+        shutil.rmtree(cat.docs, ignore_errors=True)
+        shutil.rmtree(cat.checkpoints, ignore_errors=True)
+    have = _read_checkpoint_rows(spark, cat) if resume else {}
+    if have:
+        rec_parts = {int(r["n_parts"]) for r in have.values()}
+        if rec_parts != {n_parts}:
+            raise ValueError(
+                f"index dir was built with n_parts={sorted(rec_parts)}, "
+                f"got {n_parts}; use resume=False for a clean rebuild"
+            )
+        # resume: one JVM pre-scan to diff input vs committed state
+        want = _fingerprints(pages_p)
+        skipped = sorted(
+            p
+            for p in want
+            if p in have
+            and (have[p]["hi"], have[p]["lo"], have[p]["n_docs"]) == want[p]
+        )
+        missing = sorted(set(want) - set(skipped))
+        # stale parts: committed earlier, absent from the current input —
+        # delete their docs partitions and checkpoint rows or they would
+        # leak into stage B's corpus stats and postings
+        stale = sorted(set(have) - set(want))
+        if stale:
+            import os
+
+            for p in stale:
+                shutil.rmtree(os.path.join(cat.docs, f"part={p}"), ignore_errors=True)
+                have.pop(p, None)
+            _compact_checkpoints(cat, have)
+    else:
+        # fresh build: every part is built; NO pre-scan — fingerprints are
+        # derived from the written docs (row hashes computed in-pass)
+        skipped = []
+        missing = list(range(n_parts))
 
     built: list[int] = []
     groups = [missing[i : i + group_size] for i in range(0, len(missing), group_size)]
+    h1, h2 = _row_hash_cols()
     for gi, group in enumerate(groups):
         if fail_after_groups is not None and gi >= fail_after_groups:
             raise RuntimeError(f"injected failure before group {gi}")
@@ -204,47 +270,56 @@ def build_segments(
         # owns exactly one part dir -> one file per partition (measured: 41
         # tasks x 32 dirs produced ~1300 tiny files whose driver-side commit
         # and later listing erased all scaling).  The raw-text shuffle is
-        # cheap.  The UDF runs twice (segments + docs actions) on purpose:
-        # recomputing it is cheaper than pushing multi-GB token arrays
-        # through the block manager (persist measurably hurt at 16+ workers).
+        # cheap.  ONE fused UDF pass writes the single docs table — terms,
+        # tfs, positions, doc_len, simhash AND the JVM row-hash fingerprint
+        # columns in the same job.
         enc = pg.repartition(len(group), "part").withColumn(
             "tt", tok_tf_simhash_udf("text")
         )
-        seg = enc.select(
-            "part",
-            "doc_id",
-            F.col("tt.doc_len").alias("doc_len"),
-            F.explode(F.arrays_zip("tt.terms", "tt.tfs")).alias("z"),
-        ).select(
-            "part",
-            "doc_id",
-            F.col("z.terms").alias("term"),
-            F.col("z.tfs").alias("tf"),
-            "doc_len",
-        )
-        # dynamic partition overwrite -> idempotent retry per group
-        seg.write.mode("overwrite").partitionBy("part").parquet(cat.segments)
-
         docs = enc.select(
             "part",
             "doc_id",
             "url",
+            "lang",
+            h1,
+            h2,
             F.col("tt.doc_len").alias("doc_len"),
             F.col("tt.simhash").alias("simhash"),
-            "lang",
+            F.col("tt.terms").alias("terms"),
+            F.col("tt.tfs").alias("tfs"),
+            F.col("tt.positions").alias("positions"),
         )
+        # dynamic partition overwrite -> idempotent retry per group
         docs.write.mode("overwrite").partitionBy("part").parquet(cat.docs)
 
+        # per-part fingerprint + corpus stats from the JUST-WRITTEN group
+        # partitions: a 4-column scan of compact parquet, no re-tokenize
+        agg = (
+            spark.read.parquet(cat.docs)
+            .filter(F.col("part").isin(group))
+            .groupBy("part")
+            .agg(
+                F.bit_xor("h1").alias("hi"),
+                F.bit_xor("h2").alias("lo"),
+                F.count("*").alias("n_docs"),
+                F.sum("doc_len").alias("sum_dl"),
+            )
+            .collect()
+        )
         secs = time.time() - t0
+        seq = time.time_ns()
         ck = [
             {
-                "part": p,
-                "hi": want[p][0],
-                "lo": want[p][1],
-                "n_docs": want[p][2],
-                "secs": secs / len(group),
+                "part": int(r["part"]),
+                "hi": int(r["hi"]),
+                "lo": int(r["lo"]),
+                "n_docs": int(r["n_docs"]),
+                "sum_dl": int(r["sum_dl"]),
+                "n_parts": n_parts,
+                "seq": seq,
+                "secs": secs / max(len(group), 1),
             }
-            for p in group
+            for r in agg
         ]
         _append_checkpoints(cat, ck)
         _append_metrics(
@@ -253,11 +328,11 @@ def build_segments(
                 {
                     "run_id": run_id,
                     "stage": "segments",
-                    "part": p,
-                    "docs": want[p][2],
-                    "secs": secs / len(group),
+                    "part": r["part"],
+                    "docs": r["n_docs"],
+                    "secs": r["secs"],
                 }
-                for p in group
+                for r in ck
             ],
         )
         built.extend(group)
@@ -271,11 +346,12 @@ def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
     """Shard-group block encoder (applyInPandas on (shard, tgroup)).
 
     One Python call per group, not per term: rows are lexsorted by
-    (term, doc_id) in numpy, block boundaries derived vectorized, and only
-    the final per-block varbyte encode loops (over ~n/block_size blocks,
-    each a numpy kernel).  At 10^12 docs the group size is bounded by the
-    ``build_fanout`` secondary split of the term space (tgroup), not by the
-    corpus — no reducer materializes an unbounded group.
+    (term, doc_id) in numpy, block boundaries derived vectorized, and the
+    whole group is packed in ONE FOR/varbyte pass each for doc-id deltas,
+    tfs, doc_lens and positions (per-block buffer slices afterwards).  At
+    10^12 docs the group size is bounded by the ``build_fanout`` secondary
+    split of the term space (tgroup), not by the corpus — no reducer
+    materializes an unbounded group.
     """
     block_size = cfg.block_size
     n_buckets = cfg.term_buckets
@@ -289,6 +365,7 @@ def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
         doc_ids = doc_ids[order]
         tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
         dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
+        pos_lists = pdf["positions"].to_numpy()[order]
         tfnorm = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
 
         n = len(terms)
@@ -305,14 +382,35 @@ def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
         uniq_terms = terms[term_start_idx]
         bucket_map = {t: _bucket_of(t, n_buckets) for t in uniq_terms}
 
-        # whole-group vectorized encode: ONE varbyte pass each for doc-id
-        # deltas / tfs / dls, then per-block buffer slices (a per-block
-        # numpy-call loop was the dominant stage-B cost at ~10^5 blocks)
-        id_buf, id_off = codec.varbyte_encode_batch(
-            codec.doc_id_delta_codes(doc_ids, block_starts)
+        # doc ids: first value of each block lives in the min_doc column;
+        # the payload FOR-packs the remaining n-1 in-block deltas (computed
+        # in sign-flipped uint64 space — blake2b ids span the signed range)
+        u = doc_ids.view(np.uint64) ^ codec._SIGN_BIT
+        deltas = np.empty(n, dtype=np.uint64)
+        if n:
+            deltas[1:] = u[1:] - u[:-1]
+            deltas[block_starts] = u[block_starts]
+        inner = np.delete(deltas, block_starts)
+        inner_starts = block_starts - np.arange(len(block_starts))
+        id_buf, id_off = codec.for_pack_batch(inner, inner_starts)
+        tf_buf, tf_off = codec.for_pack_batch(tfs.view(np.uint64), block_starts)
+        dl_buf, dl_off = codec.for_pack_batch(dls.view(np.uint64), block_starts)
+
+        # positions payload: per-posting delta codes (first raw), varbyte;
+        # per-block slices via the flattened-position cumulative counts
+        flat_pos = (
+            np.concatenate(pos_lists).astype(np.int64)
+            if len(pos_lists)
+            else np.empty(0, dtype=np.int64)
         )
-        tf_buf, tf_off = codec.varbyte_encode_batch(tfs.view(np.uint64))
-        dl_buf, dl_off = codec.varbyte_encode_batch(dls.view(np.uint64))
+        p_bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs, out=p_bounds[1:])
+        p_codes = flat_pos.view(np.uint64).copy()
+        if len(flat_pos):
+            p_codes[1:] = (flat_pos[1:] - flat_pos[:-1]).view(np.uint64)
+            starts_flat = p_bounds[:-1]
+            p_codes[starts_flat] = flat_pos[starts_flat].view(np.uint64)
+        pos_buf, pos_off = codec.varbyte_encode_batch(p_codes)
         bmax = np.maximum.reduceat(tfnorm, block_starts)
 
         term_col = terms[block_starts]
@@ -330,15 +428,19 @@ def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
                 "min_doc": doc_ids[block_starts],
                 "max_doc": doc_ids[block_ends - 1],
                 "doc_ids": [
-                    id_buf[id_off[s] : id_off[e]]
-                    for s, e in zip(block_starts, block_ends)
+                    id_buf[id_off[bi] : id_off[bi + 1]]
+                    for bi in range(len(block_starts))
                 ],
                 "tfs": [
-                    tf_buf[tf_off[s] : tf_off[e]]
-                    for s, e in zip(block_starts, block_ends)
+                    tf_buf[tf_off[bi] : tf_off[bi + 1]]
+                    for bi in range(len(block_starts))
                 ],
                 "dls": [
-                    dl_buf[dl_off[s] : dl_off[e]]
+                    dl_buf[dl_off[bi] : dl_off[bi + 1]]
+                    for bi in range(len(block_starts))
+                ],
+                "poss": [
+                    pos_buf[pos_off[p_bounds[s]] : pos_off[p_bounds[e]]]
                     for s, e in zip(block_starts, block_ends)
                 ],
                 "block_max_tfnorm": bmax,
@@ -361,6 +463,17 @@ def bucket_expr(term_col, n_buckets: int):
     return (F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % n_buckets).cast("int")
 
 
+def corpus_stats_from_checkpoints(
+    spark: SparkSession, cat: IndexCatalog
+) -> tuple[int, float]:
+    """(n_docs, avgdl) from the committed checkpoint rows — exact integer
+    sums, zero corpus scans."""
+    rows = _read_checkpoint_rows(spark, cat)
+    n_docs = sum(int(r["n_docs"]) for r in rows.values())
+    total_dl = sum(int(r["sum_dl"]) for r in rows.values())
+    return n_docs, (total_dl / n_docs if n_docs else 0.0)
+
+
 def build_postings(
     spark: SparkSession,
     cat: IndexCatalog,
@@ -368,26 +481,32 @@ def build_postings(
     n_shards: int | None = None,
     run_id: str = "run",
 ) -> BuildResult:
-    """Stage B: segments -> sharded compressed postings + term_stats + meta."""
+    """Stage B: docs -> sharded compressed postings + term_stats + meta."""
     t0 = time.time()
     n_shards = n_shards or 16
-    seg = spark.read.parquet(cat.segments)
-    docs = spark.read.parquet(cat.docs)
-
-    row = docs.agg(F.count("*").alias("n"), F.sum("doc_len").alias("s")).collect()[0]
-    n_docs = int(row["n"])
-    avgdl = int(row["s"]) / n_docs if n_docs else 0.0
+    n_docs, avgdl = corpus_stats_from_checkpoints(spark, cat)
     k1, b = cfg.bm25.k1, cfg.bm25.b
 
-    # segments carry doc_len inline (denormalized at stage A) so stage B
-    # needs NO join — the term shuffle is the build's only wide dependency
+    # docs carry doc_len inline (denormalized at stage A) so stage B needs
+    # NO join — the term shuffle is the build's only wide dependency
+    docs = spark.read.parquet(cat.docs)
     postings_in = (
-        seg.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
-        .withColumn(
-            "tgroup",
-            F.pmod(F.xxhash64("term"), F.lit(cfg.build_fanout)).cast("int"),
+        docs.select(
+            "doc_id",
+            "doc_len",
+            F.explode(F.arrays_zip("terms", "tfs", "positions")).alias("z"),
         )
-        .select("shard", "tgroup", "term", "doc_id", "tf", "doc_len")
+        .select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+            F.pmod(F.xxhash64("z.terms"), F.lit(cfg.build_fanout))
+            .cast("int")
+            .alias("tgroup"),
+            F.col("z.terms").alias("term"),
+            "doc_id",
+            F.col("z.tfs").alias("tf"),
+            "doc_len",
+            F.col("z.positions").alias("positions"),
+        )
     )
     blocks = (
         postings_in.groupBy("shard", "tgroup")
@@ -407,11 +526,13 @@ def build_postings(
         .parquet(cat.postings)
     )
 
-    # global exact term stats (df = posting count; (doc,term) is unique)
+    # global exact term stats, derived from the written block headers —
+    # a (bucket, term, n) columnar scan of the small blocks table, never a
+    # corpus re-scan (df = sum of block counts; (doc, term) is unique)
     stats = (
-        seg.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .withColumn("bucket", bucket_expr("term", cfg.term_buckets))
+        spark.read.parquet(cat.postings)
+        .groupBy("bucket", "term")
+        .agg(F.sum("n").alias("df"))
     )
     (
         stats.repartition("bucket")
@@ -430,6 +551,8 @@ def build_postings(
             "block_size": cfg.block_size,
             "term_buckets": cfg.term_buckets,
             "bm25": {"k1": k1, "b": b},
+            "codec": "for+varbyte",
+            "with_positions": True,
             "run_id": run_id,
         }
     )

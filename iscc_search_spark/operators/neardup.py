@@ -51,9 +51,17 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """(doc1, doc2, hamming, score): pairs within max_hamming bits.
 
-    With n_bands=8 any pair with hamming <= 7 shares at least one band
-    (pigeonhole), so recall is exact for max_hamming <= 7.
+    Pigeonhole: a pair with hamming <= n_bands - 1 must share at least one
+    band, so recall is exact iff max_hamming < n_bands.  Asserted here —
+    a silent recall gap is worse than a loud config error (a pair differing
+    in exactly n_bands bits spread one per band would be missed, and an
+    oracle that mirrors the same banding cannot detect it).
     """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(got {n_bands}) for exact pigeonhole recall"
+        )
     bands = simhash_bands(docs, simhash_col, n_bands)
     l, r = bands.alias("l"), bands.alias("r")
     cands = (

@@ -5,8 +5,11 @@ iscc_search/indexes/usearch/index.py:735-881 — see SURVEY.md §3.1):
 
 1. tokenize the query with the build-side tokenizer (normalize_query parity,
    indexes/common.py:275-330);
-2. look up exact df per term in ``term_stats`` (bucket-pruned scan) and
-   compute idf driver-side in float64 libm;
+2. look up exact df per term — from the ``IndexReader``'s driver-side
+   term-stats cache (loaded ONCE per index open via a direct pyarrow read,
+   zero Spark jobs per query; the analogue of the reference's long-lived
+   LMDB read txn, lmdb/index.py:395-445) or, above the cache cap, a
+   bucket-pruned Spark lookup — and compute idf driver-side in float64 libm;
 3. scan only the query terms' posting blocks (partition pruning on the
    bucket dir + parquet row-group stats on ``term``);
 4. per shard, a vectorized numpy scorer decodes surviving blocks and
@@ -22,10 +25,11 @@ iscc_search/indexes/usearch/index.py:735-881 — see SURVEY.md §3.1):
    reference's (-score, iscc_id_body), lmdb_ops.py:249) then global
    TakeOrderedAndProject merge.
 
-The doc-sharded layout means each shard scores its own disjoint doc set
-with complete information — no cross-shard traffic except the final k-row
-merge (the classic distributed-search fan-out; scales to 1000 executors by
-raising n_shards).
+A single query is ONE Spark job end-to-end (stats cached, blocks scanned
+once); the doc-sharded layout means each shard scores its own disjoint doc
+set with complete information — no cross-shard traffic except the final
+k-row merge (the classic distributed-search fan-out; scales to 1000
+executors by raising n_shards).
 """
 
 from __future__ import annotations
@@ -42,13 +46,118 @@ from iscc_search_spark.functions import codec
 from iscc_search_spark.functions.textnorm import tokenize_py
 from iscc_search_spark.operators.build import _bucket_of
 
+# driver-side term-stats cache cap: at web scale (~10^8-10^9 distinct terms)
+# the full table no longer fits a driver comfortably — above the cap the
+# reader falls back to bucket-pruned distributed lookups per query batch
+_STATS_CACHE_MAX_ROWS = 20_000_000
+
+
+def decode_block_ids(min_doc: int, n: int, doc_buf: bytes) -> np.ndarray:
+    """Block doc_ids: column-stored first value + FOR-packed in-block deltas
+    (sign-flipped uint64 space; see codec.encode_doc_ids rationale)."""
+    u0 = np.int64(min_doc).astype(np.uint64) ^ codec._SIGN_BIT
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = u0
+    if n > 1:
+        out[1:] = u0 + np.cumsum(codec.for_unpack(doc_buf, n - 1), dtype=np.uint64)
+    return (out ^ codec._SIGN_BIT).view(np.int64)
+
+
+def decode_block_positions(pos_buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Flat absolute token positions for a block (posting p's positions are
+    the slice [cum_tf[p], cum_tf[p+1]) of the result)."""
+    codes = codec.varbyte_decode(pos_buf).view(np.int64)
+    if len(codes) == 0:
+        return codes
+    cum = np.cumsum(codes)
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    base = cum[starts] - codes[starts]  # prefix sum before each posting
+    return cum - np.repeat(base, tfs)
+
+
+class IndexReader:
+    """Immutable open-index handle: meta + driver-cached term stats + a
+    reused blocks relation (one parquet listing per open, not per query)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache_stats: bool = True):
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir)
+        self.meta = self.cat.read_meta()
+        self.n_docs = int(self.meta["n_docs"])
+        self.avgdl = float(self.meta["avgdl"])
+        self.k1 = float(self.meta["bm25"]["k1"])
+        self.b = float(self.meta["bm25"]["b"])
+        self.n_buckets = int(self.meta["term_buckets"])
+        self.blocks = spark.read.parquet(self.cat.postings)
+        self._stats: dict[str, int] | None = None
+        if cache_stats:
+            self._load_stats()
+
+    def _load_stats(self) -> None:
+        import pyarrow.dataset as ds
+
+        d = ds.dataset(self.cat.term_stats, format="parquet", partitioning="hive")
+        if d.count_rows() > _STATS_CACHE_MAX_ROWS:
+            return
+        t = d.to_table(columns=["term", "df"])
+        self._stats = dict(
+            zip(t.column("term").to_pylist(), t.column("df").to_pylist())
+        )
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Exact df per term (cache hit = zero Spark jobs)."""
+        if self._stats is not None:
+            return {t: self._stats[t] for t in terms if t in self._stats}
+        buckets = sorted({_bucket_of(t, self.n_buckets) for t in terms})
+        rows = (
+            self.spark.read.parquet(self.cat.term_stats)
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def idf(self, term_df: dict[str, int]) -> dict[str, float]:
+        n = self.n_docs
+        return {
+            t: math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for t, df in term_df.items()
+        }
+
+    def candidate_blocks(self, terms: list[str]) -> DataFrame:
+        buckets = sorted({_bucket_of(t, self.n_buckets) for t in terms})
+        return self.blocks.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+
+def _as_reader(spark: SparkSession, index: str | IndexReader) -> IndexReader:
+    return index if isinstance(index, IndexReader) else IndexReader(spark, index)
+
+
+def _decode_term_blocks(
+    g: pd.DataFrame, k1: float, b: float, avgdl: float
+) -> list[tuple[float, np.ndarray, np.ndarray]]:
+    """One term's blocks -> [(block_max, doc_ids, tfnorm)]."""
+    out = []
+    for n, min_doc, doc_buf, tf_buf, dl_buf, bm in zip(
+        g["n"], g["min_doc"], g["doc_ids"], g["tfs"], g["dls"],
+        g["block_max_tfnorm"].to_numpy(),
+    ):
+        n = int(n)
+        d = decode_block_ids(int(min_doc), n, doc_buf)
+        tf = codec.for_unpack(tf_buf, n).view(np.int64).astype(np.float64)
+        dl = codec.for_unpack(dl_buf, n).view(np.int64).astype(np.float64)
+        tfnorm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        out.append((float(bm), d, tfnorm))
+    return out
+
 
 def _shard_scorer(idf: dict[str, float], k1: float, b: float, avgdl: float, k: int):
     """Per-shard vectorized scorer (applyInPandas)."""
     terms_sorted = sorted(idf)
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        # group blocks per term
         by_term: dict[str, pd.DataFrame] = {
             t: g for t, g in pdf.groupby("term", sort=False)
         }
@@ -56,39 +165,21 @@ def _shard_scorer(idf: dict[str, float], k1: float, b: float, avgdl: float, k: i
         if not present:
             return pd.DataFrame({"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)})
 
-        u = {t: idf[t] * float(by_term[t]["block_max_tfnorm"].max()) for t in present}
+        decoded = {t: _decode_term_blocks(by_term[t], k1, b, avgdl) for t in present}
+        u = {t: idf[t] * max(bm for bm, _, _ in decoded[t]) for t in present}
         sum_u = sum(u.values())
-
-        def decode_term(t: str, min_bm: float = -np.inf) -> tuple[np.ndarray, np.ndarray]:
-            g = by_term[t]
-            bms = g["block_max_tfnorm"].to_numpy()
-            ids_parts, s_parts = [], []
-            for doc_buf, tf_buf, dl_buf, bm in zip(
-                g["doc_ids"], g["tfs"], g["dls"], bms
-            ):
-                if bm < min_bm:
-                    continue
-                d = codec.decode_doc_ids(doc_buf)
-                tf = codec.decode_tfs(tf_buf).astype(np.float64)
-                dl = codec.decode_tfs(dl_buf).astype(np.float64)
-                s = idf[t] * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
-                ids_parts.append(d)
-                s_parts.append(s)
-            if not ids_parts:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
-            return np.concatenate(ids_parts), np.concatenate(s_parts)
 
         # theta bootstrap: exact single-term contributions of the rarest term
         # (fewest postings in this shard) are lower bounds on totals
         theta = -np.inf
         if len(present) > 1 and k > 0:
-            rarest = min(present, key=lambda t: int(by_term[t]["n"].sum()))
-            _, s0 = decode_term(rarest)
+            rarest = min(present, key=lambda t: sum(len(d) for _, d, _ in decoded[t]))
+            s0 = np.concatenate([idf[rarest] * tn for _, _, tn in decoded[rarest]])
             if len(s0) >= k:
                 theta = float(np.partition(s0, -k)[-k])
 
-        # decode with block-max pruning (exact; the epsilon guard keeps the
-        # float-rounded bound strictly conservative vs ordered true sums)
+        # block-max pruning (exact; the epsilon guard keeps the float-rounded
+        # bound strictly conservative vs ordered true sums)
         eps = 1e-9 * (1.0 + abs(theta)) if np.isfinite(theta) else 0.0
         all_ids: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
@@ -97,13 +188,15 @@ def _shard_scorer(idf: dict[str, float], k1: float, b: float, avgdl: float, k: i
             if np.isfinite(theta) and idf[t] > 0:
                 # keep block iff idf_t*bm + rest >= theta - eps
                 min_bm = (theta - eps - (sum_u - u[t])) / idf[t]
-            ids, s = decode_term(t, min_bm)
-            all_ids.append(ids)
-            all_scores.append(s)
+            ids_parts = [d for bm, d, _ in decoded[t] if bm >= min_bm]
+            s_parts = [idf[t] * tn for bm, _, tn in decoded[t] if bm >= min_bm]
+            if ids_parts:
+                all_ids.append(np.concatenate(ids_parts))
+                all_scores.append(np.concatenate(s_parts))
 
-        flat_ids = np.concatenate(all_ids)
-        if len(flat_ids) == 0:
+        if not all_ids:
             return pd.DataFrame({"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)})
+        flat_ids = np.concatenate(all_ids)
         uniq = np.unique(flat_ids)
         acc = np.zeros(len(uniq), dtype=np.float64)
         for ids, s in zip(all_ids, all_scores):  # term order preserved
@@ -119,41 +212,25 @@ def _shard_scorer(idf: dict[str, float], k1: float, b: float, avgdl: float, k: i
 
 def bm25_wand_topk(
     spark: SparkSession,
-    index_dir: str,
+    index: str | IndexReader,
     query: str,
     k: int = 10,
 ) -> DataFrame:
-    """(rank, doc_id, score) top-k from a built index directory."""
-    cat = IndexCatalog(index_dir)
-    meta = cat.read_meta()
-    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
-    k1, b = float(meta["bm25"]["k1"]), float(meta["bm25"]["b"])
-    n_buckets = int(meta["term_buckets"])
-
+    """(rank, doc_id, score) top-k; pass an IndexReader to amortize the
+    index open (meta + stats cache + file listing) across queries."""
+    r = _as_reader(spark, index)
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     terms = sorted(set(tokenize_py(query)))
-    if not terms or n_docs == 0:
+    if not terms or r.n_docs == 0:
         return empty
-
-    buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
-    stats = (
-        spark.read.parquet(cat.term_stats)
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .collect()
-    )
-    term_df = {r["term"]: int(r["df"]) for r in stats}
+    term_df = r.term_dfs(terms)
     if not term_df:
         return empty
-    idf = {
-        t: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-        for t, df in term_df.items()
-    }
+    idf = r.idf(term_df)
 
-    blocks = spark.read.parquet(cat.postings).filter(
-        F.col("bucket").isin(buckets) & F.col("term").isin(list(term_df))
-    )
+    blocks = r.candidate_blocks(sorted(term_df))
     local_topk = blocks.groupBy("shard").applyInPandas(
-        _shard_scorer(idf, k1, b, avgdl, k), "doc_id long, score double"
+        _shard_scorer(idf, r.k1, r.b, r.avgdl, k), "doc_id long, score double"
     )
     topk = local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -177,18 +254,10 @@ def _batch_shard_scorer(
     """
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded: dict[str, list[tuple[float, np.ndarray, np.ndarray]]] = {}
-        for t, g in pdf.groupby("term", sort=False):
-            blocks = []
-            for doc_buf, tf_buf, dl_buf, bm in zip(
-                g["doc_ids"], g["tfs"], g["dls"], g["block_max_tfnorm"].to_numpy()
-            ):
-                d = codec.decode_doc_ids(doc_buf)
-                tf = codec.decode_tfs(tf_buf).astype(np.float64)
-                dl = codec.decode_tfs(dl_buf).astype(np.float64)
-                tfnorm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                blocks.append((float(bm), d, tfnorm))
-            decoded[t] = blocks
+        decoded = {
+            t: _decode_term_blocks(g, k1, b, avgdl)
+            for t, g in pdf.groupby("term", sort=False)
+        }
 
         out_qid: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
@@ -260,7 +329,7 @@ def _batch_shard_scorer(
 
 def bm25_wand_topk_batch(
     spark: SparkSession,
-    index_dir: str,
+    index: str | IndexReader,
     queries: dict[int, str],
     k: int = 10,
 ) -> DataFrame:
@@ -270,33 +339,18 @@ def bm25_wand_topk_batch(
     block is decoded once per shard; the final global merge is a single
     small shuffle on query_id.
     """
-    cat = IndexCatalog(index_dir)
-    meta = cat.read_meta()
-    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
-    k1, b = float(meta["bm25"]["k1"]), float(meta["bm25"]["b"])
-    n_buckets = int(meta["term_buckets"])
-
+    r = _as_reader(spark, index)
     empty = spark.createDataFrame(
         [], "query_id long, rank long, doc_id long, score double"
     )
     q_terms = {qid: sorted(set(tokenize_py(q))) for qid, q in queries.items()}
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
-    if not all_terms or n_docs == 0:
+    if not all_terms or r.n_docs == 0:
         return empty
-
-    buckets = sorted({_bucket_of(t, n_buckets) for t in all_terms})
-    stats = (
-        spark.read.parquet(cat.term_stats)
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
-        .collect()
-    )
-    term_df = {r["term"]: int(r["df"]) for r in stats}
+    term_df = r.term_dfs(all_terms)
     if not term_df:
         return empty
-    idf_all = {
-        t: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-        for t, df in term_df.items()
-    }
+    idf_all = r.idf(term_df)
     query_idf = {
         qid: {t: idf_all[t] for t in ts if t in idf_all}
         for qid, ts in q_terms.items()
@@ -305,11 +359,9 @@ def bm25_wand_topk_batch(
     if not query_idf:
         return empty
 
-    blocks = spark.read.parquet(cat.postings).filter(
-        F.col("bucket").isin(buckets) & F.col("term").isin(list(term_df))
-    )
+    blocks = r.candidate_blocks(sorted(term_df))
     local = blocks.groupBy("shard").applyInPandas(
-        _batch_shard_scorer(query_idf, k1, b, avgdl, k),
+        _batch_shard_scorer(query_idf, r.k1, r.b, r.avgdl, k),
         "query_id long, doc_id long, score double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

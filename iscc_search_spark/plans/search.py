@@ -12,21 +12,28 @@ from pyspark.sql import functions as F
 from iscc_search_spark.catalog import IndexCatalog
 from iscc_search_spark.functions.textnorm import tokenize_py
 from iscc_search_spark.operators.neardup import simhash_neardup_pairs
-from iscc_search_spark.operators.wand import bm25_wand_topk, bm25_wand_topk_batch
+from iscc_search_spark.operators.wand import (
+    IndexReader,
+    bm25_wand_topk,
+    bm25_wand_topk_batch,
+)
 
 
 class SearchIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
-        self.meta = self.cat.read_meta()
+        # one open per facade: meta + term-stats cache + postings listing
+        # are loaded once and shared by every query (serving-path latency)
+        self.reader = IndexReader(spark, index_dir)
+        self.meta = self.reader.meta
 
     # --- queries ------------------------------------------------------------
 
     def search(self, query: str, k: int = 10, with_metadata: bool = True) -> DataFrame:
         """BM25 top-k; optionally enriched with the docs sidecar (J4 — the
         reference's post-top-k metadata lookup, usearch/index.py:841-875)."""
-        topk = bm25_wand_topk(self.spark, self.cat.root, query, k)
+        topk = bm25_wand_topk(self.spark, self.reader, query, k)
         if not with_metadata:
             return topk
         docs = self.spark.read.parquet(self.cat.docs).select(
@@ -37,29 +44,22 @@ class SearchIndex:
     def search_many(self, queries: dict[int, str], k: int = 10) -> DataFrame:
         """Batched BM25 top-k: one Spark job for the whole query set
         (blocks decoded once per shard, shared across queries)."""
-        return bm25_wand_topk_batch(self.spark, self.cat.root, queries, k)
+        return bm25_wand_topk_batch(self.spark, self.reader, queries, k)
 
     def more_like_this(self, doc_id: int, k: int = 10) -> DataFrame:
         """J5: expand the stored document's terms into a query, excluding
         the source doc itself (P5 self-exclusion)."""
-        part_row = (
+        row = (
             self.spark.read.parquet(self.cat.docs)
             .filter(F.col("doc_id") == doc_id)
-            .select("part")
+            .select("terms")
             .collect()
         )
-        if not part_row:
+        if not row:
             raise KeyError(f"doc_id {doc_id} not indexed")
-        part = int(part_row[0]["part"])
-        terms = [
-            r["term"]
-            for r in self.spark.read.parquet(self.cat.segments)
-            .filter((F.col("part") == part) & (F.col("doc_id") == doc_id))
-            .select("term")
-            .collect()
-        ]
+        terms = list(row[0]["terms"])
         topk = bm25_wand_topk(
-            self.spark, self.cat.root, " ".join(sorted(set(terms))), k + 1
+            self.spark, self.reader, " ".join(sorted(set(terms))), k + 1
         )
         from pyspark.sql import Window
 

@@ -140,6 +140,67 @@ def test_checkpoints_and_metrics_written(spark, index_dir):
     assert {"segments", "postings"} <= stages
 
 
+def test_stale_parts_removed_on_shrunk_input(spark, pages_df, tmp_path_factory):
+    """Parts committed earlier but absent from the current input must be
+    deleted (docs partitions AND checkpoint rows), or they would leak into
+    stage B's corpus stats and postings."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("shrink"))
+    cat = IndexCatalog(d)
+    build_segments(spark, pages_df, cat, CFG, n_parts=8, group_size=8)
+    # shrink the corpus to ~half: some parts vanish entirely only if we cut
+    # by part — filter to 3 specific parts via the same hash
+    kept = pages_df.filter(
+        F.pmod(F.xxhash64("url"), F.lit(8)).cast("int").isin([0, 1, 2])
+    )
+    n_kept = kept.count()
+    assert 0 < n_kept < 200
+    built, skipped = build_segments(spark, kept, cat, CFG, n_parts=8, group_size=8)
+    assert built == [] and skipped == [0, 1, 2]  # content unchanged
+    live_parts = {
+        int(p.split("=")[1])
+        for p in os.listdir(cat.docs)
+        if p.startswith("part=")
+    }
+    assert live_parts == {0, 1, 2}
+    build_postings(spark, cat, CFG, n_shards=4)
+    docs = spark.read.parquet(cat.docs)
+    assert docs.count() == n_kept
+    meta = cat.read_meta()
+    assert meta["n_docs"] == n_kept
+
+
+def test_checkpoint_revert_rebuilds(spark, pages_df, tmp_path_factory):
+    """Content A -> B -> A again: the appended checkpoint dir holds rows for
+    both states; resolution must pick the LATEST (seq), so the revert to A
+    correctly rebuilds instead of matching the stale A row."""
+    d = str(tmp_path_factory.mktemp("revert"))
+    cat = IndexCatalog(d)
+    mutated = pages_df.withColumn(
+        "text",
+        F.when(
+            F.col("url").endswith("/p/1"), F.lit("changed content")
+        ).otherwise(F.col("text")),
+    )
+    build_segments(spark, pages_df, cat, CFG, n_parts=8, group_size=8)  # A
+    b1, _ = build_segments(spark, mutated, cat, CFG, n_parts=8, group_size=8)  # B
+    assert len(b1) >= 1
+    b2, s2 = build_segments(spark, pages_df, cat, CFG, n_parts=8, group_size=8)  # A again
+    assert b2 == b1  # the reverted part rebuilds (stale A row must NOT match)
+    # and the final state is a no-op for A
+    b3, s3 = build_segments(spark, pages_df, cat, CFG, n_parts=8, group_size=8)
+    assert b3 == [] and len(s3) == 8
+
+
+def test_n_parts_mismatch_rejected(spark, pages_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nparts"))
+    cat = IndexCatalog(d)
+    build_segments(spark, pages_df, cat, CFG, n_parts=8, group_size=8)
+    with pytest.raises(ValueError, match="n_parts"):
+        build_segments(spark, pages_df, cat, CFG, n_parts=16, group_size=8)
+
+
 def test_docs_sidecar(spark, index_dir, oracle):
     cat = IndexCatalog(index_dir)
     docs = spark.read.parquet(cat.docs)

@@ -47,3 +47,41 @@ def test_compression_is_compact():
     ids = np.arange(0, 10_000, dtype=np.int64) * 3
     buf = codec.encode_doc_ids(ids)
     assert len(buf) < 10_000 * 2
+
+
+def test_for_pack_roundtrip_ragged_blocks():
+    rng = np.random.default_rng(3)
+    sizes = [0, 1, 128, 7, 0, 3, 128, 2, 64]
+    starts, vals, pos = [], [], 0
+    for n in sizes:
+        starts.append(pos)
+        if n:
+            v = rng.integers(0, 1 << 63, size=n, dtype=np.int64).view(np.uint64)
+            if n >= 3:
+                v[0], v[1], v[2] = 0, np.uint64(2**64 - 1), np.uint64(1)
+            vals.append(v)
+            pos += n
+    flat = np.concatenate(vals)
+    buf, offs = codec.for_pack_batch(flat, np.array(starts))
+    p = 0
+    for b, n in enumerate(sizes):
+        got = codec.for_unpack(buf[offs[b] : offs[b + 1]], n)
+        assert np.array_equal(got, flat[p : p + n]), b
+        p += n
+
+
+def test_for_pack_zeros_and_empty():
+    buf, offs = codec.for_pack_batch(np.zeros(5, np.uint64), np.array([0]))
+    assert np.array_equal(codec.for_unpack(buf, 5), np.zeros(5, np.uint64))
+    buf, offs = codec.for_pack_batch(np.empty(0, np.uint64), np.empty(0, np.int64))
+    assert buf == b"" and list(offs) == [0]
+
+
+def test_for_beats_varbyte_on_small_values():
+    # tf-like data (1..11): FOR packs 4 bits/value vs varbyte's 8
+    rng = np.random.default_rng(5)
+    tfs = rng.integers(1, 12, size=12800).astype(np.uint64)
+    starts = np.arange(0, 12800, 128)
+    fb, _ = codec.for_pack_batch(tfs, starts)
+    vb, _ = codec.varbyte_encode_batch(tfs)
+    assert len(fb) < len(vb) * 0.6
