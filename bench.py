@@ -77,6 +77,14 @@ def main() -> None:
             "bm25_wand_single",
             lambda: bm25_wand_topk(spark, reader, wand_queries[0], k=10).collect(),
         )
+        # serving fast path: driver-side pyarrow read + numpy scorer (rank-
+        # identical; used for queries under the candidate-postings cap)
+        from iscc_search_spark.operators.wand import bm25_wand_topk_local
+
+        timed(
+            "bm25_wand_single_local",
+            lambda: bm25_wand_topk_local(reader, wand_queries[1], k=10),
+        )
         t0 = time.time()
         bm25_wand_topk_batch(
             spark, reader, dict(enumerate(wand_queries)), k=10
@@ -84,10 +92,34 @@ def main() -> None:
         timings["bm25_wand_batch64"] = round(time.time() - t0, 3)
         extra["bm25_queries_per_sec"] = round(64 / timings["bm25_wand_batch64"], 2)
 
-        # 3) headline operators over the testdata tables
+        # 3) unigram minhash with the LSH skew cap: the uncapped variant is
+        #    O(N^2) on this synthetic table's tiny unigram vocabulary (the
+        #    exact degenerate-bucket mode the cap exists for); capped it is
+        #    benchable at sf0.1 with recall preserved transitively
+        from iscc_search_spark.operators.dedup import minhash_dedup
+
+        docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        timed(
+            "dedup_minhash_unigram_capped",
+            lambda: minhash_dedup(
+                docs_sf, n_perm=16, n_bands=4, ngram=1, threshold=0.5, max_bucket=64
+            ).count(),
+        )
+
+        # phrase answered from the positional postings of the built index
+        from iscc_search_spark.operators.phrase import phrase_match
+
+        timed(
+            "phrase_from_postings",
+            lambda: phrase_match(spark, reader, "t00001 t00000").count(),
+        )
+
+        # 4) headline operators over the testdata tables
         for name in [
             "t1_bm25_topk_q1",
             "t1_bm25_topk_q2",
+            "j_multiunit_search",
+            "a7_granular_simprint_search",
             # unigram minhash is in the correctness gate; at sf0.1 the tiny
             # 31-term vocabulary makes unigram token-SET signatures collide
             # en masse (inherent O(N^2) candidate pairs on this synthetic

@@ -179,6 +179,55 @@ FROM inter i JOIN sizes s1 ON s1.doc_id = i.doc1 JOIN sizes s2 ON s2.doc_id = i.
 WHERE CAST(i.i AS DOUBLE) / CAST(s1.n + s2.n - i.i AS DOUBLE) >= {_d(threshold)}"""
 
 
+def _rph_lsh_oracle_sql(
+    query_id: int,
+    dim: int = 64,
+    n_planes: int = 64,
+    seed: int = 42,
+    n_bands: int = 16,
+    k: int = 10,
+) -> str:
+    """Random-hyperplane-LSH ANN oracle: signatures from inlined plane
+    literals -> banded candidates -> exact cosine rerank (mirrors
+    ann.rph_ann_topk exactly, including the index-ordered dot folds)."""
+    from iscc_search_spark.operators.ann import rph_planes
+
+    planes = rph_planes(dim, n_planes, seed)
+
+    def fold(p: int) -> str:
+        lits = ", ".join(_d(float(planes[i, p])) for i in range(dim))
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]), (a, b) -> a + b)"
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN {fold(p)} > 0 THEN CAST('{2 ** (63 - p)}' AS HUGEINT) "
+        "ELSE CAST(0 AS HUGEINT) END)"
+        for p in range(n_planes)
+    )
+    width = n_planes // n_bands
+    band_eq = " OR ".join(
+        f"((s.us // CAST('{2 ** (width * b)}' AS HUGEINT)) % {2 ** width} = "
+        f"(q.qs // CAST('{2 ** (width * b)}' AS HUGEINT)) % {2 ** width})"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, ({bits}) AS us FROM embeddings),
+q AS (SELECT us AS qs FROM sig WHERE vec_id = {query_id}),
+cand AS (SELECT s.vec_id FROM sig s, q WHERE s.vec_id <> {query_id} AND ({band_eq})),
+qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
+pr AS (SELECT e.vec_id,
+              list_reduce(list_transform(range(1, {dim + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.qv[i] AS DOUBLE)), (a, b) -> a + b) AS dot,
+              sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS ne,
+              sqrt(list_reduce(list_transform(qe.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nq
+       FROM embeddings e JOIN cand USING (vec_id), qe)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(cosine, 6) AS cosine FROM (
+  SELECT vec_id, dot / (ne * nq) AS cosine,
+         row_number() OVER (ORDER BY dot / (ne * nq) DESC, vec_id) AS rank FROM pr
+) WHERE rank <= {k}"""
+
+
 def _ordered_sum_sql(x: str) -> str:
     """Ordered float64 fold — bit-identical to Spark array_sort+aggregate."""
     return f"list_reduce(list({x} ORDER BY {x}), (a, b) -> a + b)"
@@ -448,9 +497,12 @@ SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(cosine, 6) AS cosine FROM (
         out = ann.rph_ann_topk(_t(spark, sf, "embeddings"), ANN_QUERY_ID, k=10, dim=64)
         return out.withColumn("cosine", F.round("cosine", 6))
 
-    queries["ann_rph_lsh_topk"] = ann_lsh  # no SQL oracle: random-plane LSH
-    # (driver records rows-only check; exactness vs brute force is covered
-    # by tests/test_training_ops.py recall assertion)
+    queries["ann_rph_lsh_topk"] = ann_lsh
+    # full SQL oracle: the seeded Gaussian plane matrix is inlined as DOUBLE
+    # literals; per-plane dots are index-ordered folds on BOTH sides (the
+    # Spark UDF accumulates in ascending dim order, not BLAS), so signature
+    # bits, band candidates and the exact rerank agree bit-for-bit
+    oracles["ann_rph_lsh_topk"] = _rph_lsh_oracle_sql(ANN_QUERY_ID)
 
     # --- text analysis ------------------------------------------------------
     def qual(spark, sf):
@@ -597,6 +649,130 @@ uv AS (SELECT doc_id,
        FROM sh)
 SELECT doc_id, 'ISCC:' || {chars} AS iscc FROM uv"""
 
+    # --- multi-unit ISCC: F4 composition + flagship search (A3/A8/J) -------
+    # shared SQL pieces: per-doc DATA_V0 simhash (distinct 3-gram shingles,
+    # tf=1) and INSTANCE_V0 exact hash (md5 first 8 bytes as signed int64)
+    SHINGLE3 = (
+        f"list_distinct(list_transform(range(1, len({ARR}) - 1), "
+        f"i -> {ARR}[i] || ' ' || {ARR}[i + 1] || ' ' || {ARR}[i + 2]))"
+    )
+    inst_nibbles = " + ".join(
+        f"CAST((strpos('0123456789abcdef', md5(text)[{i + 1}]) - 1) AS HUGEINT) "
+        f"* CAST('{16 ** (15 - i)}' AS HUGEINT)"
+        for i in range(16)
+    )
+    UNITS_CTE = f"""{SIMHASH_CTE},
+dsth AS (SELECT doc_id, md5(s) AS h
+         FROM (SELECT doc_id, unnest({SHINGLE3}) AS s FROM documents)),
+dsbb AS (SELECT doc_id, i,
+                sum(2 * (((strpos('0123456789abcdef', h[(i // 4) + 1]) - 1) >> (3 - (i % 4))) & 1) - 1) AS v
+         FROM dsth, (SELECT unnest(range(0, 64)) AS i) bits
+         GROUP BY doc_id, i),
+dsh0 AS (SELECT doc_id,
+                CAST(sum(CASE WHEN i = 0 AND v > 0 THEN CAST(-9223372036854775808 AS HUGEINT)
+                              WHEN i > 0 AND v > 0 THEN CAST(CAST(1 AS BIGINT) << (63 - i) AS HUGEINT)
+                              ELSE 0 END) AS BIGINT) AS data_sh
+         FROM dsbb GROUP BY doc_id),
+iv AS (SELECT doc_id, ({inst_nibbles}) AS v FROM documents),
+inst AS (SELECT doc_id,
+                CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+                          THEN v - CAST('18446744073709551616' AS HUGEINT)
+                          ELSE v END AS BIGINT) AS instance
+         FROM iv),
+un AS (SELECT d.doc_id, sh.simhash AS content_sh,
+              COALESCE(dsh0.data_sh, 0) AS data_sh, inst.instance
+       FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+       LEFT JOIN dsh0 ON dsh0.doc_id = d.doc_id
+       JOIN inst ON inst.doc_id = d.doc_id)"""
+
+    def f4(spark, sf):
+        # unit values round-tripped THROUGH the composite codec: compose an
+        # ISCC-CODE per doc (F4), decompose it back, emit the unit bodies —
+        # any composition/decomposition defect breaks the value match
+        from iscc_search_spark.functions.iscc_codec import (
+            iscc_code_udf,
+            iscc_decompose_units_udf,
+        )
+        from iscc_search_spark.operators.multiunit import asset_units
+
+        units = asset_units(_t(spark, sf, "documents"))
+        coded = units.select(
+            "doc_id",
+            iscc_code_udf("content_sh", "data_sh", "instance").alias("iscc"),
+        )
+        return coded.select(
+            "doc_id", iscc_decompose_units_udf("iscc").alias("u")
+        ).select(
+            "doc_id",
+            F.col("u.content_sh").alias("content_sh"),
+            F.col("u.data_sh").alias("data_sh"),
+            F.col("u.instance").alias("instance"),
+        )
+
+    queries["f4_multiunit_codes"] = f4
+    oracles["f4_multiunit_codes"] = (
+        UNITS_CTE + "\nSELECT doc_id, content_sh, data_sh, instance FROM un"
+    )
+
+    def jmu(spark, sf):
+        from iscc_search_spark.operators.multiunit import search_assets_multiunit
+
+        out = search_assets_multiunit(_t(spark, sf, "documents"), MLT_DOC, k=10)
+        return out.withColumn("score", F.round("score", 6))
+
+    queries["j_multiunit_search"] = jmu
+    # reference semantics (usearch/index.py:735-881): per-unit scores
+    # (similarity = 1 - hamming/64, instance exact = 1.0), keep units with
+    # score >= 0.75, total = sum(s^4)/sum(s) in frozen (content, data,
+    # instance) order; threshold-only filtering here is provably identical
+    # to the engine's banded candidate predicate (pigeonhole at hamming<=16)
+    oracles["j_multiunit_search"] = f"""{UNITS_CTE},
+q AS (SELECT content_sh AS qc, data_sh AS qd, instance AS qi FROM un WHERE doc_id = {MLT_DOC}),
+sc AS (SELECT un.doc_id,
+              {_d(1.0)} - CAST(bit_count(xor(content_sh, q.qc)) AS DOUBLE) / {_d(64.0)} AS s_c,
+              {_d(1.0)} - CAST(bit_count(xor(data_sh, q.qd)) AS DOUBLE) / {_d(64.0)} AS s_d,
+              CASE WHEN instance = q.qi THEN {_d(1.0)} ELSE {_d(0.0)} END AS s_i
+       FROM un, q WHERE un.doc_id <> {MLT_DOC}),
+agg AS (SELECT doc_id,
+               (CASE WHEN s_c >= {_d(0.75)} THEN s_c * s_c * s_c * s_c ELSE {_d(0.0)} END
+                + CASE WHEN s_d >= {_d(0.75)} THEN s_d * s_d * s_d * s_d ELSE {_d(0.0)} END
+                + CASE WHEN s_i >= {_d(0.75)} THEN s_i * s_i * s_i * s_i ELSE {_d(0.0)} END) AS wsum,
+               (CASE WHEN s_c >= {_d(0.75)} THEN s_c ELSE {_d(0.0)} END
+                + CASE WHEN s_d >= {_d(0.75)} THEN s_d ELSE {_d(0.0)} END
+                + CASE WHEN s_i >= {_d(0.75)} THEN s_i ELSE {_d(0.0)} END) AS ssum,
+               (CAST(s_c >= {_d(0.75)} AS BIGINT) + CAST(s_d >= {_d(0.75)} AS BIGINT)
+                + CAST(s_i >= {_d(0.75)} AS BIGINT)) AS n_units
+        FROM sc)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(score, 6) AS score, n_units FROM (
+  SELECT doc_id, wsum / ssum AS score, n_units,
+         row_number() OVER (ORDER BY wsum / ssum DESC, doc_id) AS rank
+  FROM agg WHERE ssum > {_d(0.0)}
+) WHERE rank <= 10"""
+
+    # --- binary unit-prefix range lookup (true J2) --------------------------
+    # top-4-bit prefix of the query doc's CONTENT unit -> one signed BETWEEN
+    # range (unsigned prefix ranges are contiguous in signed space); the
+    # oracle derives the same prefix from the same doc in SQL
+    def j2b(spark, sf):
+        from iscc_search_spark.operators.multiunit import (
+            asset_units,
+            unit_prefix_scan,
+        )
+
+        units = asset_units(_t(spark, sf, "documents"))
+        qrow = units.filter(F.col("doc_id") == MLT_DOC).collect()
+        prefix = (int(qrow[0]["content_sh"]) & (2**64 - 1)) >> 60
+        return unit_prefix_scan(units, prefix, 4)
+
+    queries["j2_unit_prefix_lookup"] = j2b
+    oracles["j2_unit_prefix_lookup"] = f"""{SIMHASH_CTE},
+u AS (SELECT doc_id, simhash,
+             CASE WHEN simhash < 0 THEN CAST(simhash AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+                  ELSE CAST(simhash AS HUGEINT) END AS us FROM sh),
+q AS (SELECT us // CAST('{2 ** 60}' AS HUGEINT) AS p FROM u WHERE doc_id = {MLT_DOC})
+SELECT u.doc_id, u.simhash AS content_sh
+FROM u, q WHERE u.us // CAST('{2 ** 60}' AS HUGEINT) = q.p"""
+
     # --- chunk-level (granular) simprint search (A6/A7/B2 family) ----------
     # fixed 64-token query (2 segments) over the testdata vocabulary; its
     # segment simhashes are computed here in Python and inlined into the
@@ -622,7 +798,7 @@ SELECT doc_id, 'ISCC:' || {chars} AS iscc FROM uv"""
     from iscc_search_spark.operators.simprints import segment_simhashes_py
 
     qsegs = segment_simhashes_py(GRANULAR_QUERY)
-    qvals = ", ".join(f"({s}, CAST({h} AS BIGINT))" for s, _, h in qsegs)
+    qvals = ", ".join(f"({s}, CAST({h} AS BIGINT))" for s, _, _, _, h in qsegs)
     seg_sh_cte = f"""
 WITH base AS (SELECT doc_id, {ARR} AS arr FROM documents),
 segs AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(arr) / 32.0) AS INT))) AS seg_idx, arr FROM base),

@@ -76,3 +76,107 @@ def simhash_code_udf(simhash: pd.Series) -> pd.Series:
 @F.pandas_udf(T.LongType())
 def code_simhash_udf(code: pd.Series) -> pd.Series:
     return code.map(code_to_simhash)
+
+
+# --- ISCC-CODE <-> units composition (F4) -----------------------------------
+# The composite form: MainType ISCC header + concatenated 64-bit unit bodies
+# (dynamic META/SEMANTIC/CONTENT units first, then the static DATA and
+# INSTANCE tail), decomposable back into typed units — mirroring the
+# reference's IsccCode.units loop (iscc_search/models.py:258-316).  The
+# units-presence nibble is a 3-bit mask (META<<2 | SEMANTIC<<1 | CONTENT),
+# this codec's frozen convention for the length field of composite headers.
+
+MT_META = 0
+MT_SEMANTIC = 1
+MT_DATA = 3
+MT_INSTANCE = 4
+MT_ISCC = 5
+
+_DYNAMIC = (MT_META, MT_SEMANTIC, MT_CONTENT)
+
+
+def compose_iscc(units: list[tuple[int, int, bytes]]) -> str:
+    """[(maintype, subtype, 8-byte body)] -> composite ISCC-CODE string.
+
+    DATA and INSTANCE units are required (the reference's minimum,
+    models.py:263-265); META/SEMANTIC/CONTENT are optional."""
+    by_mt = {mt: (st, body) for mt, st, body in units}
+    if MT_DATA not in by_mt or MT_INSTANCE not in by_mt:
+        raise ValueError("ISCC-CODE requires DATA and INSTANCE units")
+    for mt, st, body in units:
+        if len(body) != 8:
+            raise ValueError("composite units must have 64-bit bodies")
+    mask = sum(
+        1 << (2 - i) for i, mt in enumerate(_DYNAMIC) if mt in by_mt
+    )
+    # composite subtype follows the content unit's subtype (or NONE)
+    st_iscc = by_mt.get(MT_CONTENT, (0, b""))[0]
+    body = b"".join(by_mt[mt][1] for mt in _DYNAMIC if mt in by_mt)
+    body += by_mt[MT_DATA][1] + by_mt[MT_INSTANCE][1]
+    raw = _header(MT_ISCC, st_iscc, VERSION, mask) + body
+    b32 = base64.b32encode(raw).decode("ascii").rstrip("=")
+    return "ISCC:" + b32
+
+
+def decompose_iscc(code: str) -> list[tuple[int, int, int, bytes]]:
+    """Composite ISCC-CODE -> [(maintype, subtype, version, 8-byte body)],
+    dynamic units first then DATA and INSTANCE (models.py:268-316 order)."""
+    mt, st, ver, mask, body = decode_unit(code)
+    if mt != MT_ISCC:
+        # a bare unit decomposes to itself
+        return [(mt, st, ver, body)]
+    out = []
+    idx = 0
+    for i, dmt in enumerate(_DYNAMIC):
+        if mask & (1 << (2 - i)):
+            sub = 0 if dmt == MT_META else st
+            out.append((dmt, sub, ver, body[idx * 8 : (idx + 1) * 8]))
+            idx += 1
+    out.append((MT_DATA, 0, ver, body[-16:-8]))
+    out.append((MT_INSTANCE, 0, ver, body[-8:]))
+    return out
+
+
+def _i64_body(v: int) -> bytes:
+    return (int(v) & (2**64 - 1)).to_bytes(8, "big")
+
+
+def _body_i64(b: bytes) -> int:
+    u = int.from_bytes(b, "big")
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+_UNITS_SCHEMA = T.StructType(
+    [
+        T.StructField("content_sh", T.LongType()),
+        T.StructField("data_sh", T.LongType()),
+        T.StructField("instance", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_UNITS_SCHEMA)
+def iscc_decompose_units_udf(code: pd.Series) -> pd.DataFrame:
+    """ISCC-CODE string -> (content_sh, data_sh, instance) int64 bodies."""
+    rows = []
+    for c in code:
+        units = {mt: _body_i64(b) for mt, _, _, b in decompose_iscc(c)}
+        rows.append((units[MT_CONTENT], units[MT_DATA], units[MT_INSTANCE]))
+    return pd.DataFrame(rows, columns=["content_sh", "data_sh", "instance"])
+
+
+@F.pandas_udf(T.StringType())
+def iscc_code_udf(content_sh: pd.Series, data_sh: pd.Series, instance: pd.Series) -> pd.Series:
+    """(content simhash, data simhash, instance hash) int64s -> ISCC-CODE."""
+    return pd.Series(
+        [
+            compose_iscc(
+                [
+                    (MT_CONTENT, ST_TEXT, _i64_body(c)),
+                    (MT_DATA, 0, _i64_body(d)),
+                    (MT_INSTANCE, 0, _i64_body(i)),
+                ]
+            )
+            for c, d, i in zip(content_sh, data_sh, instance)
+        ]
+    )

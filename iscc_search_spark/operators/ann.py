@@ -70,17 +70,30 @@ def cosine_topk(
     )
 
 
+def rph_planes(dim: int, n_planes: int = 64, seed: int = 42) -> np.ndarray:
+    """The seeded Gaussian plane matrix — exposed so the DuckDB oracle can
+    inline the exact same values as SQL literals."""
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
 def rph_signature_udf(dim: int, n_planes: int = 64, seed: int = 42):
-    """Pandas UDF: embedding -> int64 random-hyperplane signature."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    """Pandas UDF: embedding -> int64 random-hyperplane signature.
+
+    The per-plane dot product is an INDEX-ORDERED float64 accumulation
+    (not a BLAS matmul, whose reduction order is unspecified): the sign of
+    a near-zero dot must be reproducible by any engine that folds in index
+    order — that's what makes the banded candidates oracle-checkable.
+    """
+    planes = rph_planes(dim, n_planes, seed)
     weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))[::-1]
 
     @F.pandas_udf(T.LongType())
     def sig(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy())  # (batch, dim) float32
-        bits = (m.astype(np.float64) @ planes) > 0
-        packed = (bits.astype(np.uint64) * weights[None, :]).sum(
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+        acc = np.zeros((m.shape[0], planes.shape[1]), dtype=np.float64)
+        for i in range(planes.shape[0]):  # ascending dim index, ordered fold
+            acc += m[:, i : i + 1] * planes[i : i + 1, :]
+        packed = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(
             axis=1, dtype=np.uint64
         )
         return pd.Series(packed.view(np.int64))

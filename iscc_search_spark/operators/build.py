@@ -563,6 +563,164 @@ def build_postings(
     return BuildResult(n_docs, avgdl, [], [], secs)
 
 
+# --- incremental update / delete (true B4) ------------------------------------
+# The reference updates an asset by deleting its stale postings and vectors
+# then inserting the new ones inside one LMDB txn (usearch/index.py:337-348,
+# simprint/lmdb_ops.py:84-108).  The Spark analogue: merge the delta into
+# ONLY the affected docs partitions (url-keyed upsert / delete), re-commit
+# their checkpoint fingerprints, and rebuild the derived postings (stage B
+# is a deterministic function of docs — the "derived indexes are
+# rebuildable" consistency model, docs/explanation/architecture.md:117-118).
+
+
+_DOC_COLS = [
+    "part", "doc_id", "url", "lang", "h1", "h2",
+    "doc_len", "simhash", "terms", "tfs", "positions",
+]
+
+
+def _require_ckpt_parts(spark: SparkSession, cat: IndexCatalog) -> tuple[dict, int]:
+    ckpt = _read_checkpoint_rows(spark, cat)
+    if not ckpt:
+        raise ValueError("no committed build to update (empty _checkpoints)")
+    n_parts = int(next(iter(ckpt.values()))["n_parts"])
+    return ckpt, n_parts
+
+
+def _merge_parts(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    merged: DataFrame,
+    parts: list[int],
+    ckpt: dict[int, dict],
+    n_parts: int,
+    run_id: str,
+    stage: str,
+) -> None:
+    """Rewrite the affected docs partitions from ``merged`` (already
+    filtered to ``parts``) and re-commit their checkpoint rows."""
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # materialize BEFORE overwriting the partitions the plan reads from
+    merged = merged.repartition(max(len(parts), 1), "part").localCheckpoint()
+    live = {int(r["part"]) for r in merged.select("part").distinct().collect()}
+    merged.write.mode("overwrite").partitionBy("part").parquet(cat.docs)
+    for p in sorted(set(parts) - live):  # partition emptied by a delete
+        shutil.rmtree(os.path.join(cat.docs, f"part={p}"), ignore_errors=True)
+        ckpt.pop(p, None)
+    if live:
+        agg = (
+            spark.read.parquet(cat.docs)
+            .filter(F.col("part").isin(sorted(live)))
+            .groupBy("part")
+            .agg(
+                F.bit_xor("h1").alias("hi"),
+                F.bit_xor("h2").alias("lo"),
+                F.count("*").alias("n_docs"),
+                F.sum("doc_len").alias("sum_dl"),
+            )
+            .collect()
+        )
+        seq = time.time_ns()
+        for r in agg:
+            ckpt[int(r["part"])] = {
+                "part": int(r["part"]),
+                "hi": int(r["hi"]),
+                "lo": int(r["lo"]),
+                "n_docs": int(r["n_docs"]),
+                "sum_dl": int(r["sum_dl"]),
+                "n_parts": n_parts,
+                "seq": seq,
+                "secs": 0.0,
+            }
+    _compact_checkpoints(cat, ckpt)
+    _append_metrics(
+        cat,
+        [{"run_id": run_id, "stage": stage, "part": p, "docs": 0, "secs": 0.0}
+         for p in parts],
+    )
+
+
+def upsert_docs(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    n_shards: int | None = None,
+    run_id: str = "upsert",
+    rebuild_postings: bool = True,
+) -> list[int]:
+    """Upsert a delta batch (url-keyed): replaces existing docs with the
+    same url, inserts new ones, touches ONLY the affected partitions, then
+    rebuilds the derived postings.  Returns the affected part list."""
+    cat = IndexCatalog(index_dir)
+    ckpt, n_parts = _require_ckpt_parts(spark, cat)
+    h1, h2 = _row_hash_cols()
+    delta = _normalize_input(pages).withColumn(
+        "part", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
+    )
+    parts = sorted(
+        int(r["part"]) for r in delta.select("part").distinct().collect()
+    )
+    enc = delta.repartition(max(len(parts), 1), "part").withColumn(
+        "tt", tok_tf_simhash_udf("text")
+    )
+    new_docs = enc.select(
+        "part", "doc_id", "url", "lang", h1, h2,
+        F.col("tt.doc_len").alias("doc_len"),
+        F.col("tt.simhash").alias("simhash"),
+        F.col("tt.terms").alias("terms"),
+        F.col("tt.tfs").alias("tfs"),
+        F.col("tt.positions").alias("positions"),
+    )
+    existing = (
+        spark.read.parquet(cat.docs)
+        .filter(F.col("part").isin(parts))
+        .join(delta.select("url").distinct(), "url", "left_anti")
+        .select(*_DOC_COLS)
+    )
+    _merge_parts(
+        spark, cat, existing.unionByName(new_docs.select(*_DOC_COLS)),
+        parts, ckpt, n_parts, run_id, "upsert",
+    )
+    if rebuild_postings:
+        meta = cat.read_meta()
+        build_postings(spark, cat, cfg, n_shards or int(meta["n_shards"]), run_id)
+    return parts
+
+
+def delete_docs(
+    spark: SparkSession,
+    urls: list[str],
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    n_shards: int | None = None,
+    run_id: str = "delete",
+    rebuild_postings: bool = True,
+) -> list[int]:
+    """Delete documents by url from the affected partitions, then rebuild
+    the derived postings.  Returns the affected part list."""
+    cat = IndexCatalog(index_dir)
+    ckpt, n_parts = _require_ckpt_parts(spark, cat)
+    dead = spark.createDataFrame([(u,) for u in urls], "url string").withColumn(
+        "part", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
+    )
+    parts = sorted(int(r["part"]) for r in dead.select("part").distinct().collect())
+    kept = (
+        spark.read.parquet(cat.docs)
+        .filter(F.col("part").isin(parts))
+        .join(dead.select("url"), "url", "left_anti")
+        .select(*_DOC_COLS)
+    )
+    _merge_parts(spark, cat, kept, parts, ckpt, n_parts, run_id, "delete")
+    if rebuild_postings:
+        meta = cat.read_meta()
+        build_postings(spark, cat, cfg, n_shards or int(meta["n_shards"]), run_id)
+    return parts
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,

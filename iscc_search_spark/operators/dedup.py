@@ -95,9 +95,22 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_perm: int = 16, n_bands: int = 4
+    sigs: DataFrame,
+    n_perm: int = 16,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """(doc1, doc2) candidate pairs sharing >=1 LSH band."""
+    """(doc1, doc2) candidate pairs sharing >=1 LSH band.
+
+    ``max_bucket`` caps each (band, key) bucket at its ``max_bucket``
+    smallest doc_ids before pairing — the skew guard for degenerate band
+    keys (boilerplate/empty documents on real web data produce mega-buckets
+    whose |bucket|^2 pairs dominate everything).  Deterministic and the
+    lossless-where-possible analogue of the reference's dup_limit=1000 cap
+    (iscc_search/indexes/simprint/lmdb_ops.py:139-166); None (default)
+    keeps recall exact — use the cap at scale, where a capped bucket of
+    near-identical docs still chains into one dup cluster transitively.
+    """
     rows_per_band = n_perm // n_bands
     bands = []
     for bi in range(n_bands):
@@ -112,6 +125,15 @@ def lsh_candidate_pairs(
     all_bands = bands[0]
     for x in bands[1:]:
         all_bands = all_bands.unionByName(x)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key").orderBy("doc_id")
+        all_bands = (
+            all_bands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_bucket)
+            .drop("rn")
+        )
     left = all_bands.alias("l")
     right = all_bands.alias("r")
     return (
@@ -184,8 +206,13 @@ def minhash_dedup(
     ngram: int = 1,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Full pipeline: signatures -> LSH candidates -> exact Jaccard >= t."""
+    """Full pipeline: signatures -> LSH candidates -> exact Jaccard >= t.
+
+    Set ``max_bucket`` (e.g. 1000) at web scale to bound degenerate LSH
+    buckets; leave None for exact recall (see lsh_candidate_pairs).
+    """
     sigs = minhash_signatures(docs, text_col, id_col, n_perm, ngram, seed)
-    pairs = lsh_candidate_pairs(sigs, n_perm, n_bands)
+    pairs = lsh_candidate_pairs(sigs, n_perm, n_bands, max_bucket)
     return jaccard_verify(docs, pairs, text_col, id_col, ngram, threshold)

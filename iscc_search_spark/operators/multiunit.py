@@ -1,0 +1,229 @@
+"""Multi-unit ISCC asset search — the reference's flagship query shape.
+
+The reference decomposes an ISCC-CODE into typed units, routes each unit to
+its own index (INSTANCE -> exact LMDB lookup, similarity types -> NPHD),
+and aggregates per-asset unit scores with confidence weighting
+(iscc_search/indexes/usearch/index.py:735-881):
+
+    per-unit score: INSTANCE exact match = 1.0; similarity units =
+        1 - hamming/64;
+    keep units with score >= match_threshold (0.75);
+    total = sum(score^4) / sum(score) over the kept units (the A3
+        confidence-weighted mean, confidence_exponent = 4).
+
+This engine computes three 64-bit units per document:
+    CONTENT_TEXT_V0 — token-frequency simhash (functions/simhash.py);
+    DATA_V0         — simhash over the DISTINCT 3-gram token shingles
+                      (a structure fingerprint: near-identical token
+                      streams collide, word-order changes diverge);
+    INSTANCE_V0     — exact content hash (md5 first 8 bytes; stands in for
+                      the reference's blake3, same exact-identity
+                      semantics — both engines share md5).
+
+Aggregation order is frozen (content, data, instance) so the <=3-term
+float sums associate identically across engines.
+
+Scale: candidates come from a PREDICATE, not a scan-and-score-all — the
+query's unit values are driver literals, so `hamming(content, qc) <= 16`
+is implied by a 17-band pigeonhole OR-filter over JVM bit-slices plus
+`instance = qi` equality, all inside one codegen'd scan filter; only
+surviving rows are scored.  At 10^12 docs this becomes a banded equi-join
+against a units table bucketed by band key (same shape as
+operators/neardup.py); threshold 0.75 <=> hamming <= 16 exactly, so the
+prune is lossless either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from iscc_search_spark.functions.simhash import hamming_expr, simhash_udf
+from iscc_search_spark.functions.textnorm import tokens_expr
+from iscc_search_spark.operators.dedup import _shingles_expr
+from iscc_search_spark.operators.query import doc_term_tf
+from iscc_search_spark.operators.simprints import band_widths
+
+MATCH_THRESHOLD = 0.75  # per-unit confidence floor (reference default)
+CONF_EXPONENT = 4       # score^4 weighting (reference default)
+_MAX_HAMMING = 16       # 1 - 16/64 == 0.75 exactly (dyadic)
+
+
+def _instance_expr(text_col: str) -> Column:
+    """Exact 64-bit content hash: first 16 hex chars of md5 as signed int64
+    (two 32-bit halves — a single 16-hex conv would overflow the cast)."""
+    md5 = F.md5(F.col(text_col))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def asset_units(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, content_sh, data_sh, instance) — the per-asset unit values."""
+    tf = doc_term_tf(docs, text_col, id_col)
+    content = tf.groupBy("doc_id").agg(
+        F.collect_list("term").alias("terms"), F.collect_list("tf").alias("tfs")
+    ).select(
+        "doc_id", F.coalesce(simhash_udf("terms", "tfs"), F.lit(0)).alias("content_sh")
+    )
+    shing = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(_shingles_expr(text_col, 3)).alias("sh"),
+    ).select(
+        "doc_id",
+        F.coalesce(
+            simhash_udf(
+                "sh", F.transform("sh", lambda _: F.lit(1).cast("long"))
+            ),
+            F.lit(0),
+        ).alias("data_sh"),
+    )
+    inst = docs.select(
+        F.col(id_col).alias("doc_id"), _instance_expr(text_col).alias("instance")
+    )
+    return (
+        inst.join(content, "doc_id", "left")
+        .join(shing, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("content_sh", F.lit(0)).alias("content_sh"),
+            F.coalesce("data_sh", F.lit(0)).alias("data_sh"),
+            "instance",
+        )
+    )
+
+
+def _band_pred(col: str, qval: int, n_bands: int) -> Column:
+    """OR of per-band key equalities — implies hamming <= n_bands - 1 by
+    pigeonhole, evaluated as one codegen'd scan filter."""
+    uq = qval & (2**64 - 1)
+    pred = None
+    for shift, w in band_widths(n_bands):
+        mask = (1 << w) - 1
+        p = (
+            F.shiftrightunsigned(F.col(col), shift).bitwiseAND(F.lit(mask))
+            == F.lit((uq >> shift) & mask)
+        )
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+def unit_prefix_range(prefix_value: int, prefix_bits: int) -> tuple[int, int]:
+    """[lo, hi] SIGNED int64 bounds of the unsigned prefix range.
+
+    The reference scans unit keys by binary prefix (variable-length NPHD
+    units, iscc_search/indexes/lmdb/index.py:447-494).  Unsigned prefix
+    ranges map to a SINGLE contiguous signed range (the top bit only flips
+    sign for the whole range), so the scan is one BETWEEN predicate that
+    parquet row-group min/max stats prune when the table is laid out
+    sorted by unit value — the columnar analogue of the LMDB cursor scan.
+    """
+    if not 0 < prefix_bits <= 64:
+        raise ValueError("prefix_bits must be 1..64")
+    shift = 64 - prefix_bits
+    ulo = (prefix_value & ((1 << prefix_bits) - 1)) << shift
+    uhi = ulo + (1 << shift) - 1
+
+    def signed(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    return signed(ulo), signed(uhi)
+
+
+def unit_prefix_scan(
+    units: DataFrame, prefix_value: int, prefix_bits: int, col: str = "content_sh"
+) -> DataFrame:
+    """(doc_id, <col>) rows whose unit body starts with the given bit
+    prefix — a pushed-down BETWEEN range scan (true J2)."""
+    lo, hi = unit_prefix_range(prefix_value, prefix_bits)
+    return units.select("doc_id", col).filter(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )
+
+
+def search_assets_multiunit(
+    docs: DataFrame,
+    query_doc_id: int,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    units: DataFrame | None = None,
+) -> DataFrame:
+    """(rank, doc_id, score, n_units) top-k assets by confidence-weighted
+    multi-unit match against the query document's units (self-excluded)."""
+    spark = docs.sparkSession
+    if units is None:
+        units = asset_units(docs, text_col, id_col)
+    qrow = units.filter(F.col("doc_id") == query_doc_id).collect()
+    empty = spark.createDataFrame(
+        [], "rank long, doc_id long, score double, n_units long"
+    )
+    if not qrow:
+        return empty
+    qc, qd, qi = (
+        int(qrow[0]["content_sh"]),
+        int(qrow[0]["data_sh"]),
+        int(qrow[0]["instance"]),
+    )
+
+    # lossless candidate predicate: threshold 0.75 <=> hamming <= 16, so
+    # 17 bands pigeonhole-cover every confident similarity match; instance
+    # confidence is exact equality
+    cand_pred = (
+        _band_pred("content_sh", qc, _MAX_HAMMING + 1)
+        | _band_pred("data_sh", qd, _MAX_HAMMING + 1)
+        | (F.col("instance") == F.lit(qi))
+    )
+
+    sim = lambda col, qv: (  # noqa: E731
+        F.lit(1.0) - hamming_expr(F.col(col), F.lit(qv)).cast("double") / F.lit(64.0)
+    )
+    scored = (
+        units.filter(F.col("doc_id") != query_doc_id)
+        .filter(cand_pred)
+        .withColumn("s_c", sim("content_sh", qc))
+        .withColumn("s_d", sim("data_sh", qd))
+        .withColumn(
+            "s_i",
+            F.when(F.col("instance") == F.lit(qi), F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+    )
+
+    def conf(c: str) -> Column:
+        return F.col(c) >= F.lit(MATCH_THRESHOLD)
+
+    def pow4(c: str) -> Column:
+        x = F.col(c)
+        return x * x * x * x
+
+    z = F.lit(0.0)
+    # frozen aggregation order: content, data, instance (ordered float sums)
+    wsum = (
+        F.when(conf("s_c"), pow4("s_c")).otherwise(z)
+        + F.when(conf("s_d"), pow4("s_d")).otherwise(z)
+        + F.when(conf("s_i"), pow4("s_i")).otherwise(z)
+    )
+    ssum = (
+        F.when(conf("s_c"), F.col("s_c")).otherwise(z)
+        + F.when(conf("s_d"), F.col("s_d")).otherwise(z)
+        + F.when(conf("s_i"), F.col("s_i")).otherwise(z)
+    )
+    n_units = (
+        conf("s_c").cast("long") + conf("s_d").cast("long") + conf("s_i").cast("long")
+    )
+    res = (
+        scored.withColumn("ssum", ssum)
+        .filter(F.col("ssum") > 0.0)
+        .select(
+            "doc_id",
+            (wsum / F.col("ssum")).alias("score"),
+            n_units.alias("n_units"),
+        )
+    )
+    topk = res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score", "n_units"
+    )

@@ -8,11 +8,17 @@ usearch_core.py:171-236 approx search).  Spark-first re-expression:
 
 - documents are segmented into fixed ``seg_tokens`` token windows; each
   window gets the same 64-bit simhash as whole docs (functions/simhash.py)
-  -> a ``simprints`` table (doc_id, seg_idx, n_tokens, simhash) — the
-  analogue of the reference's chunk-pointer postings (doc, offset, size);
+  -> a ``simprints`` table (doc_id, seg_idx, n_tokens, offset, size,
+  simhash) — (offset, size) is the BYTE span of the segment in the
+  canonical (NFC-normalized, lowercased) text, the analogue of the
+  reference's IsccChunk pointer (schema.py:260-320);
 - a query text is segmented identically; candidate (doc_seg, query_seg)
-  pairs with hamming <= max_hamming are matched (banded-LSH join at scale;
-  the small query side is broadcast);
+  pairs come from a banded-LSH equi-join — the 64-bit simhash is cut into
+  ``n_bands`` near-equal bit slices and pairs sharing any (band, key)
+  are candidates.  With n_bands > max_hamming the pigeonhole principle
+  makes recall EXACT (a pair within max_hamming differs in fewer bands
+  than exist), so the prune is invisible to correctness while scanning
+  only hash-colliding segments instead of the whole simprints table;
 - scoring (frozen, oracle-verified): per (doc, query_seg) keep the BEST
   similarity 1 - hamming/64 (A1 max-combine), then
       score(doc) = sum over query segs of best_sim / n_query_segs
@@ -20,9 +26,12 @@ usearch_core.py:171-236 approx search).  Spark-first re-expression:
   reference's A7 (usearch_core.py:220-236).  All sims are multiples of
   1/64 (dyadic), so sums are EXACT in float64 regardless of order.
 
-Offsets are reported as (seg_idx, n_tokens) token coordinates rather than
-byte offsets: byte spans need tokenizer span tracking that plain SQL can't
-reproduce, and token coordinates are deterministic across engines.
+Scale note: at max_hamming=12 the 13 required bands are ~5 bits wide, so
+the expected candidate fraction is ~n_bands/2^width ≈ 40% of a full scan —
+a modest prune; at serving-typical thresholds (<=7, 8-bit bands) it is
+~3%.  Selectivity improves exponentially as the threshold tightens; the
+shape (equi-join on (band, key), hamming verify JVM-side) is the same one
+the near-dup self-join uses and never degenerates to an all-pairs scan.
 """
 
 from __future__ import annotations
@@ -37,16 +46,44 @@ from iscc_search_spark.functions.simhash import (
     neardup_score_expr,
     simhash_batch,
 )
-from iscc_search_spark.functions.textnorm import tokenize_py
 
 SEG_TOKENS = 32
 
 
-def segment_simhashes_py(text: str, seg_tokens: int = SEG_TOKENS) -> list[tuple[int, int, int]]:
-    """[(seg_idx, n_tokens, simhash)] for a single text (driver/oracle)."""
+def _token_spans(text: str) -> tuple[list[str], list[tuple[int, int]]]:
+    """(tokens, [(byte_start, byte_end)]) over the canonical text (NFC +
+    lowercase); maximal [0-9a-z]+ runs — identical token sequence to
+    tokenize_py (both are the non-empty maximal runs between separators)."""
+    import re
+    import unicodedata
+
+    norm = unicodedata.normalize("NFC", text).lower()
+    toks, spans = [], []
+    ascii_only = norm.isascii()
+    if not ascii_only:
+        import numpy as np
+
+        o = np.fromiter(map(ord, norm), dtype=np.int64, count=len(norm))
+        blen = 1 + (o > 0x7F).astype(np.int64) + (o > 0x7FF) + (o > 0xFFFF)
+        cum = np.zeros(len(norm) + 1, dtype=np.int64)
+        np.cumsum(blen, out=cum[1:])
+    for m in re.finditer(r"[0-9a-z]+", norm):
+        toks.append(m.group())
+        if ascii_only:
+            spans.append((m.start(), m.end()))
+        else:
+            spans.append((int(cum[m.start()]), int(cum[m.end()])))
+    return toks, spans
+
+
+def segment_simhashes_py(
+    text: str, seg_tokens: int = SEG_TOKENS
+) -> list[tuple[int, int, int, int, int]]:
+    """[(seg_idx, n_tokens, offset, size, simhash)] for one text
+    (driver/oracle path; offset/size are byte spans in the canonical text)."""
     import numpy as np
 
-    toks = tokenize_py(text)
+    toks, spans = _token_spans(text)
     out = []
     terms_l, tfs_l = [], []
     metas = []
@@ -60,11 +97,13 @@ def segment_simhashes_py(text: str, seg_tokens: int = SEG_TOKENS) -> list[tuple[
         ts = sorted(c)
         terms_l.append(np.array(ts, dtype=object))
         tfs_l.append(np.array([c[t] for t in ts], dtype=np.int64))
-        metas.append((i // seg_tokens, len(window)))
+        start_b = spans[i][0]
+        end_b = spans[min(i + seg_tokens, len(toks)) - 1][1]
+        metas.append((i // seg_tokens, len(window), start_b, end_b - start_b))
     if not metas:
         return []
     hashes = simhash_batch(terms_l, tfs_l)
-    return [(s, n, int(h)) for (s, n), h in zip(metas, hashes)]
+    return [(s, n, o, z, int(h)) for (s, n, o, z), h in zip(metas, hashes)]
 
 
 _SEG_SCHEMA = T.ArrayType(
@@ -72,6 +111,8 @@ _SEG_SCHEMA = T.ArrayType(
         [
             T.StructField("seg_idx", T.IntegerType()),
             T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("offset", T.IntegerType()),
+            T.StructField("size", T.IntegerType()),
             T.StructField("simhash", T.LongType()),
         ]
     )
@@ -94,7 +135,7 @@ def simprints_table(
     id_col: str = "doc_id",
     seg_tokens: int = SEG_TOKENS,
 ) -> DataFrame:
-    """(doc_id, seg_idx, n_tokens, simhash) — one row per segment."""
+    """(doc_id, seg_idx, n_tokens, offset, size, simhash) per segment."""
     segs = _segments_udf(seg_tokens)
     return (
         docs.select(F.col(id_col).alias("doc_id"), segs(text_col).alias("ss"))
@@ -103,9 +144,22 @@ def simprints_table(
             "doc_id",
             F.col("s.seg_idx").alias("seg_idx"),
             F.col("s.n_tokens").alias("n_tokens"),
+            F.col("s.offset").alias("offset"),
+            F.col("s.size").alias("size"),
             F.col("s.simhash").alias("simhash"),
         )
     )
+
+
+def band_widths(n_bands: int, bits: int = 64) -> list[tuple[int, int]]:
+    """[(shift, width)] cutting ``bits`` into n_bands near-equal slices."""
+    base, extra = divmod(bits, n_bands)
+    out, shift = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
 
 
 def granular_topk(
@@ -115,10 +169,18 @@ def granular_topk(
     max_hamming: int = 8,
     seg_tokens: int = SEG_TOKENS,
     simprints: DataFrame | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score, n_matched_segs) top-k docs containing segments
-    similar to the query's segments."""
+    similar to the query's segments — banded-LSH candidate join, exact
+    recall for n_bands > max_hamming (default: max_hamming + 1 bands)."""
     spark = docs.sparkSession
+    n_bands = n_bands if n_bands is not None else max_hamming + 1
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(got {n_bands}) for exact pigeonhole recall"
+        )
     qsegs = segment_simhashes_py(query_text, seg_tokens)
     empty = spark.createDataFrame(
         [], "rank long, doc_id long, score double, n_matched_segs long"
@@ -128,14 +190,41 @@ def granular_topk(
     n_q = len(qsegs)
     if simprints is None:
         simprints = simprints_table(docs, seg_tokens=seg_tokens)
-    q = spark.createDataFrame(
-        [(s, h) for s, _, h in qsegs], "q_seg int, q_sim long"
-    )
+
+    widths = band_widths(n_bands)
+    # query side: (band, key, q_seg, q_sim) literals — tiny, broadcast
+    q_rows = []
+    for s, _, _, _, h in qsegs:
+        uh = h & ((1 << 64) - 1)
+        for b, (shift, w) in enumerate(widths):
+            q_rows.append((b, (uh >> shift) & ((1 << w) - 1), s, h))
+    q = spark.createDataFrame(q_rows, "band int, key long, q_seg int, q_sim long")
+
+    # index side: one (band, key) row per band per segment, JVM bit-slicing
+    bands = None
+    for b, (shift, w) in enumerate(widths):
+        x = simprints.select(
+            "doc_id",
+            "seg_idx",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("simhash", shift)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("key"),
+        )
+        bands = x if bands is None else bands.unionByName(x)
+
     matched = (
-        simprints.crossJoin(F.broadcast(q))
+        bands.join(F.broadcast(q), ["band", "key"])
         .withColumn("h", hamming_expr(F.col("simhash"), F.col("q_sim")))
         .filter(F.col("h") <= max_hamming)
-        .withColumn("sim", neardup_score_expr(F.col("simhash"), F.col("q_sim")))
+        .select(
+            "doc_id",
+            "seg_idx",
+            "q_seg",
+            neardup_score_expr(F.col("simhash"), F.col("q_sim")).alias("sim"),
+        )
+        .dropDuplicates(["doc_id", "seg_idx", "q_seg"])
     )
     best = matched.groupBy("doc_id", "q_seg").agg(F.max("sim").alias("best_sim"))
     scores = best.groupBy("doc_id").agg(

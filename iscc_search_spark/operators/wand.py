@@ -210,6 +210,59 @@ def _shard_scorer(idf: dict[str, float], k1: float, b: float, avgdl: float, k: i
     return score
 
 
+# a single query whose terms together touch at most this many postings is
+# answered driver-side (pyarrow row-group-pruned read + the same numpy
+# scorer) — the serving fast path, mirroring the reference's single-node
+# LMDB reads; bigger candidate sets take the distributed path
+_LOCAL_POSTINGS_CAP = 5_000_000
+
+
+def bm25_wand_topk_local(
+    index: IndexReader, query: str, k: int = 10
+) -> pd.DataFrame:
+    """(rank, doc_id, score) pandas result, ZERO Spark jobs.
+
+    Bit-identical to the distributed scorer: per-doc accumulation runs in
+    the same ascending-term order (sharding only partitions docs; each
+    doc's sum is unchanged), block-max pruning uses the same exact bound.
+    """
+    r = index
+    empty = pd.DataFrame(
+        {
+            "rank": pd.Series([], dtype="int64"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        }
+    )
+    terms = sorted(set(tokenize_py(query)))
+    if not terms or r.n_docs == 0:
+        return empty
+    term_df = r.term_dfs(terms)
+    if not term_df:
+        return empty
+    idf = r.idf(term_df)
+
+    import pyarrow.dataset as ds
+
+    buckets = sorted({_bucket_of(t, r.n_buckets) for t in term_df})
+    d = ds.dataset(r.cat.postings, format="parquet", partitioning="hive")
+    flt = ds.field("bucket").isin(buckets) & ds.field("term").isin(list(term_df))
+    pdf = d.to_table(
+        columns=["term", "n", "min_doc", "doc_ids", "tfs", "dls", "block_max_tfnorm"],
+        filter=flt,
+    ).to_pandas()
+    if len(pdf) == 0:
+        return empty
+    # the whole candidate set scores as ONE "shard": per-doc sums are
+    # term-ordered exactly as in the per-shard scorer, so results are
+    # bit-identical to the distributed path's global merge
+    out = _shard_scorer(idf, r.k1, r.b, r.avgdl, k)((None,), pdf)
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True], kind="stable")
+    out = out.head(k).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out
+
+
 def bm25_wand_topk(
     spark: SparkSession,
     index: str | IndexReader,

@@ -52,6 +52,21 @@ def test_wand_rank_identical_to_oracle(spark, index_dir, oracle):
     assert nonempty > 0
 
 
+def test_local_fastpath_rank_identical(spark, index_dir, oracle):
+    """The driver-side serving fast path (pyarrow read, zero Spark jobs)
+    must be bit-identical to the oracle AND the distributed path."""
+    from iscc_search_spark.operators.wand import IndexReader, bm25_wand_topk_local
+
+    reader = IndexReader(spark, index_dir)
+    nonempty = 0
+    for q in generate_queries(30):
+        pdf = bm25_wand_topk_local(reader, q, k=10)
+        got = list(zip(pdf["doc_id"].tolist(), pdf["score"].tolist()))
+        assert got == oracle.search(q, k=10), f"query={q!r}"
+        nonempty += bool(got)
+    assert nonempty > 0
+
+
 def test_wand_batch_equals_oracle(spark, index_dir, oracle):
     from iscc_search_spark.operators.wand import bm25_wand_topk_batch
 

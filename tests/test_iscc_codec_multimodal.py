@@ -88,3 +88,98 @@ def test_unknown_media_type_raises(spark):
     )
     with pytest.raises(Exception, match="hologram|NotImplemented"):
         extract_features(df).collect()
+
+
+def test_iscc_code_compose_decompose_roundtrip():
+    from iscc_search_spark.functions.iscc_codec import (
+        MT_CONTENT,
+        MT_DATA,
+        MT_INSTANCE,
+        MT_META,
+        compose_iscc,
+        decompose_iscc,
+    )
+
+    units = [
+        (MT_CONTENT, 0, (0x1234567890ABCDEF).to_bytes(8, "big")),
+        (MT_DATA, 0, (0xDEADBEEF00112233).to_bytes(8, "big")),
+        (MT_INSTANCE, 0, (0xFFFFFFFFFFFFFFFF).to_bytes(8, "big")),
+    ]
+    code = compose_iscc(units)
+    assert code.startswith("ISCC:")
+    out = decompose_iscc(code)
+    assert [(mt, body) for mt, _, _, body in out] == [
+        (mt, body) for mt, _, body in units
+    ]
+    # with META, and without CONTENT (DATA+INSTANCE minimum)
+    units4 = [(MT_META, 0, b"\x01" * 8)] + units
+    out4 = decompose_iscc(compose_iscc(units4))
+    assert [mt for mt, _, _, _ in out4] == [MT_META, MT_CONTENT, MT_DATA, MT_INSTANCE]
+    mini = units[1:]
+    outm = decompose_iscc(compose_iscc(mini))
+    assert [mt for mt, _, _, _ in outm] == [MT_DATA, MT_INSTANCE]
+
+
+def test_iscc_code_requires_data_instance():
+    import pytest as _pytest
+
+    from iscc_search_spark.functions.iscc_codec import MT_CONTENT, compose_iscc
+
+    with _pytest.raises(ValueError, match="DATA and INSTANCE"):
+        compose_iscc([(MT_CONTENT, 0, b"\x00" * 8)])
+
+
+def test_multiunit_search_python_oracle(spark):
+    """search_assets_multiunit vs a brute-force Python scorer implementing
+    the reference's aggregation (usearch/index.py:735-881) directly."""
+    import hashlib
+
+    from collections import Counter
+
+    from iscc_search_spark.functions.simhash import simhash_from_tf
+    from iscc_search_spark.functions.textnorm import tokenize_py
+    from iscc_search_spark.operators.multiunit import search_assets_multiunit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+
+    def units_of(text):
+        toks = tokenize_py(text)
+        c = Counter(toks)
+        ts = sorted(c)
+        content = simhash_from_tf(ts, [c[t] for t in ts]) if ts else 0
+        sh3 = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+        data = simhash_from_tf(sh3, [1] * len(sh3)) if sh3 else 0
+        inst = int.from_bytes(
+            hashlib.md5(text.encode()).digest()[:8], "big", signed=True
+        )
+        return content, data, inst
+
+    per_doc = {r["doc_id"]: units_of(r["text"]) for r in rows}
+    QID = 7
+    qc, qd, qi = per_doc[QID]
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    want = []
+    for did, (c, d, i) in per_doc.items():
+        if did == QID:
+            continue
+        scores = [1 - ham(c, qc) / 64.0, 1 - ham(d, qd) / 64.0, 1.0 if i == qi else 0.0]
+        conf = [s for s in scores if s >= 0.75]
+        if not conf:
+            continue
+        total = sum(s**4 for s in conf) / sum(conf)
+        want.append((did, total, len(conf)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:10]
+
+    got = [
+        (r["doc_id"], r["score"], r["n_units"])
+        for r in search_assets_multiunit(docs, QID, k=10).orderBy("rank").collect()
+    ]
+    assert [(d, n) for d, _, n in want] == [(d, n) for d, _, n in got]
+    for (_, sw, _), (_, sg, _) in zip(want, got):
+        assert abs(sw - sg) < 1e-12
+    assert want, "query doc should have confident matches"

@@ -56,6 +56,54 @@ def test_projection_prunes_read_schema(spark, index_dir):
     assert "ReadSchema: struct<doc_id:bigint,doc_len:bigint>" in p
 
 
+def test_granular_search_uses_banded_equijoin(spark):
+    """The granular simprint search must candidate via the (band, key)
+    broadcast equi-join — NOT a nested-loop scan of every segment simhash
+    per query (the round-1 full-scan anti-pattern)."""
+    from iscc_search_spark.operators.simprints import granular_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c x y z w v")],
+        "doc_id long, text string",
+    )
+    p = plan_of(granular_topk(docs, "a b c d e f g h", k=5, max_hamming=7))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_unit_prefix_scan_pushes_range(spark, tmp_path):
+    """The binary unit-prefix lookup must reach the parquet scan as a
+    BETWEEN range (row-group min/max pruning on a value-sorted layout)."""
+    from iscc_search_spark.operators.multiunit import (
+        unit_prefix_range,
+        unit_prefix_scan,
+    )
+
+    units = spark.createDataFrame(
+        [(i, (i * 0x9E3779B97F4A7C15) % (2**63)) for i in range(1000)],
+        "doc_id long, content_sh long",
+    )
+    path = str(tmp_path / "units")
+    units.repartition(1).sortWithinPartitions("content_sh").write.parquet(path)
+    stored = spark.read.parquet(path)
+    out = unit_prefix_scan(stored, 0b1010, 4)
+    p = plan_of(out)
+    assert "GreaterThanOrEqual(content_sh" in p
+    assert "LessThanOrEqual(content_sh" in p
+    # semantic check vs python
+    lo, hi = unit_prefix_range(0b1010, 4)
+    want = {
+        r["doc_id"]
+        for r in units.collect()
+        if lo <= r["content_sh"] <= hi
+    }
+    assert {r["doc_id"] for r in out.collect()} == want
+    # sign-crossing prefix (top bit set) still one contiguous signed range
+    lo2, hi2 = unit_prefix_range(0b1111, 4)
+    assert lo2 < 0 and hi2 == -1
+
+
 def test_tf_agg_has_mapside_combine(spark):
     docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
     p = plan_of(doc_term_tf(docs))

@@ -30,15 +30,53 @@ def docs(spark):
 def test_simprints_table_matches_python(spark, docs):
     rows = docs.select("doc_id", "text").collect()
     want = {
-        (r["doc_id"], s, n): h
+        (r["doc_id"], s, n, o, z): h
         for r in rows
-        for s, n, h in segment_simhashes_py(r["text"])
+        for s, n, o, z, h in segment_simhashes_py(r["text"])
     }
     got = {
-        (r["doc_id"], r["seg_idx"], r["n_tokens"]): r["simhash"]
+        (r["doc_id"], r["seg_idx"], r["n_tokens"], r["offset"], r["size"]): r["simhash"]
         for r in simprints_table(docs).collect()
     }
     assert got == want
+
+
+def test_segment_byte_spans_independent_oracle():
+    """(offset, size) must be the byte span of the segment's tokens in the
+    canonical (NFC + lowercase) text — verified with an independent
+    cursor-walk span computation, including non-ASCII multibyte text."""
+    import unicodedata
+
+    from iscc_search_spark.functions.textnorm import tokenize_py
+
+    texts = [
+        "Hello, World! foo--bar baz " + "tok " * 80,
+        "  leading sepérators café über " + "wörter " * 40,
+        "",
+        "punct!!!",
+    ]
+    for text in texts:
+        norm = unicodedata.normalize("NFC", text).lower()
+        toks = tokenize_py(text)
+        # independent span walk: find each token left-to-right by cursor
+        # tokens are maximal runs in order, so the first occurrence at or
+        # after the cursor (which sits in the preceding separator) is exact
+        spans, cur = [], 0
+        for t in toks:
+            i = norm.index(t, cur)
+            b0 = len(norm[:i].encode("utf-8"))
+            b1 = len(norm[: i + len(t)].encode("utf-8"))
+            spans.append((b0, b1))
+            cur = i + len(t)
+        segs = segment_simhashes_py(text, seg_tokens=32)
+        assert len(segs) == (len(toks) + 31) // 32 if toks else not segs
+        for s, n, o, z, _ in segs:
+            first = spans[s * 32]
+            last = spans[s * 32 + n - 1]
+            assert o == first[0] and z == last[1] - first[0], (text[:20], s)
+            # span slices back to bytes containing exactly those tokens
+            blob = norm.encode("utf-8")[o : o + z].decode("utf-8")
+            assert tokenize_py(blob) == toks[s * 32 : s * 32 + n]
 
 
 def test_granular_topk_matches_bruteforce(spark, docs):
@@ -52,8 +90,8 @@ def test_granular_topk_matches_bruteforce(spark, docs):
     scores = {}
     for r in rows:
         best: dict[int, float] = {}
-        for _, _, dh in segment_simhashes_py(r["text"]):
-            for qi, _, qh in qsegs:
+        for _, _, _, _, dh in segment_simhashes_py(r["text"]):
+            for qi, _, _, _, qh in qsegs:
                 h = ham(dh, qh)
                 if h <= 12:
                     sim = 1.0 - h / 64.0

@@ -134,3 +134,29 @@ def test_quality_and_fingerprint_spotcheck(spark, docs, docs_py):
         fp = (fp * FP_BASE + h32_py(t) % FP_MOD) % FP_MOD
     got = doc_fingerprints(docs).filter(F.col("doc_id") == did).collect()[0]
     assert got["fingerprint"] == fp
+
+
+def test_minhash_cap_bounds_and_preserves_high_cap(docs):
+    """max_bucket caps pair generation per LSH bucket: capped output is a
+    subset of uncapped; a cap >= max bucket size is a no-op."""
+    uncapped = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.minhash_dedup(
+            docs, n_perm=16, n_bands=4, ngram=1, threshold=0.5
+        ).collect()
+    }
+    capped = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.minhash_dedup(
+            docs, n_perm=16, n_bands=4, ngram=1, threshold=0.5, max_bucket=4
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert len(capped) < len(uncapped)  # sf0.001 unigram buckets exceed 4
+    big_cap = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.minhash_dedup(
+            docs, n_perm=16, n_bands=4, ngram=1, threshold=0.5, max_bucket=10**6
+        ).collect()
+    }
+    assert big_cap == uncapped
