@@ -88,7 +88,11 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="scaling_")
     pages_path = os.path.join(work, "pages.parquet")
     corpus.write_pages(pages_path, n_docs, seed=42)
-    queries = dict(enumerate(corpus.generate_queries(100)))
+    # 1000 queries: the throughput measurement must be dominated by scoring
+    # work, not per-job scheduling overhead (which is a constant both
+    # levels share and a real cluster amortizes the same way) — this is
+    # saturation throughput, the quantity the north rule's q/s metric means
+    queries = dict(enumerate(corpus.generate_queries(1000)))
 
     try:
         low = run_at(n_low, pages_path, queries, work)

@@ -104,11 +104,17 @@ def tokenize_py(text: str) -> list[str]:
 # payload (iscc_search/indexes/simprint/lmdb_ops.py:24-64) and feed
 # phrase/proximity answered from the index alone.
 
+# positions travel as ONE pre-encoded varbyte blob per doc plus per-term
+# byte offsets (pos_offs[i]..pos_offs[i+1] = term i's slice): a nested
+# array<array<int>> column costs a Python->Arrow crossing per POSTING
+# (measured 3x slower stage A at 100k docs), a blob costs one per DOC and
+# ships through the stage-B shuffle as compact bytes
 TOKTF_SCHEMA = T.StructType(
     [
         T.StructField("terms", T.ArrayType(T.StringType())),
         T.StructField("tfs", T.ArrayType(T.LongType())),
-        T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        T.StructField("pos_blob", T.BinaryType()),
+        T.StructField("pos_offs", T.ArrayType(T.IntegerType())),
         T.StructField("doc_len", T.LongType()),
         T.StructField("simhash", T.LongType()),
     ]
@@ -160,17 +166,41 @@ def _group_tokens_batch(doc_tokens: list[list[str]]):
     # original (ascending, stable) token index within its doc, grouped per
     # (doc, term) run
     within = (order - doc_off[doc_idx[order]]).astype(np.int32)
-    pos_groups = np.split(within, np.cumsum(gtfs)[:-1])
     groups_per_doc = np.bincount(gdoc, minlength=n_docs)
     gdoc_off = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(groups_per_doc, out=gdoc_off[1:])
-    terms_out, tfs_out, pos_out = [], [], []
+    terms_out, tfs_out = [], []
     for i in range(n_docs):
         a, b = gdoc_off[i], gdoc_off[i + 1]
         terms_out.append(gterm[a:b])
         tfs_out.append(gtfs[a:b])
-        pos_out.append(pos_groups[a:b])
-    return terms_out, tfs_out, pos_out, lens
+    return terms_out, tfs_out, (within, gstarts, gdoc_off, doc_off), lens
+
+
+def _encode_positions_batch(within, gstarts, gdoc_off, doc_off, n_docs: int):
+    """Whole-batch varbyte position blobs: per-(doc,term) delta codes
+    (first raw), ONE vectorized encode, then per-doc blob + offset slices.
+    Each blob slice [pos_offs[i], pos_offs[i+1]) is term i's per-posting
+    payload — byte-identical to what the posting blocks store."""
+    import numpy as np
+
+    from iscc_search_spark.functions import codec
+
+    total = len(within)
+    codes = within.astype(np.int64)
+    if total:
+        codes[1:] -= within[:-1].astype(np.int64)
+        codes[gstarts] = within[gstarts]
+    buf, offs = codec.varbyte_encode_batch(codes.view(np.uint64))
+    blobs, offs_out = [], []
+    for i in range(n_docs):
+        a, b = gdoc_off[i], gdoc_off[i + 1]
+        t0, t1 = doc_off[i], doc_off[i + 1]
+        base = offs[t0]
+        blobs.append(buf[base : offs[t1]])
+        o = (offs[gstarts[a:b]] - base).astype(np.int32)
+        offs_out.append(np.append(o, np.int32(offs[t1] - base)))
+    return blobs, offs_out
 
 
 @F.pandas_udf(TOKTF_SCHEMA)
@@ -178,13 +208,29 @@ def tok_tf_simhash_udf(text: pd.Series) -> pd.DataFrame:
     from iscc_search_spark.functions.simhash import simhash_batch
 
     doc_tokens = [tokenize_py(t) if t is not None else [] for t in text]
-    terms_out, tfs_out, pos_out, lens = _group_tokens_batch(doc_tokens)
+    terms_out, tfs_out, posinfo, lens = _group_tokens_batch(doc_tokens)
+    within, gstarts, gdoc_off, doc_off = (
+        posinfo
+        if isinstance(posinfo, tuple)
+        else (None, None, None, None)
+    )
+    import numpy as np
+
+    if within is None:  # empty batch fallback
+        within = np.empty(0, dtype=np.int32)
+        gstarts = np.empty(0, dtype=np.int64)
+        gdoc_off = np.zeros(len(doc_tokens) + 1, dtype=np.int64)
+        doc_off = np.zeros(len(doc_tokens) + 1, dtype=np.int64)
+    blobs, pos_offs = _encode_positions_batch(
+        within, gstarts, gdoc_off, doc_off, len(doc_tokens)
+    )
     sh = simhash_batch(terms_out, tfs_out)
     return pd.DataFrame(
         {
             "terms": [list(t) for t in terms_out],
             "tfs": [list(map(int, t)) for t in tfs_out],
-            "positions": pos_out,
+            "pos_blob": blobs,
+            "pos_offs": pos_offs,
             "doc_len": lens,
             "simhash": sh,
         }

@@ -287,7 +287,8 @@ def build_segments(
             F.col("tt.simhash").alias("simhash"),
             F.col("tt.terms").alias("terms"),
             F.col("tt.tfs").alias("tfs"),
-            F.col("tt.positions").alias("positions"),
+            F.col("tt.pos_blob").alias("pos_blob"),
+            F.col("tt.pos_offs").alias("pos_offs"),
         )
         # dynamic partition overwrite -> idempotent retry per group
         docs.write.mode("overwrite").partitionBy("part").parquet(cat.docs)
@@ -365,7 +366,7 @@ def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
         doc_ids = doc_ids[order]
         tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
         dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
-        pos_lists = pdf["positions"].to_numpy()[order]
+        pos_lists = list(pdf["pos"].to_numpy()[order])
         tfnorm = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
 
         n = len(terms)
@@ -396,21 +397,13 @@ def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
         tf_buf, tf_off = codec.for_pack_batch(tfs.view(np.uint64), block_starts)
         dl_buf, dl_off = codec.for_pack_batch(dls.view(np.uint64), block_starts)
 
-        # positions payload: per-posting delta codes (first raw), varbyte;
-        # per-block slices via the flattened-position cumulative counts
-        flat_pos = (
-            np.concatenate(pos_lists).astype(np.int64)
-            if len(pos_lists)
-            else np.empty(0, dtype=np.int64)
-        )
-        p_bounds = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(tfs, out=p_bounds[1:])
-        p_codes = flat_pos.view(np.uint64).copy()
-        if len(flat_pos):
-            p_codes[1:] = (flat_pos[1:] - flat_pos[:-1]).view(np.uint64)
-            starts_flat = p_bounds[:-1]
-            p_codes[starts_flat] = flat_pos[starts_flat].view(np.uint64)
-        pos_buf, pos_off = codec.varbyte_encode_batch(p_codes)
+        # positions payload: per-posting buffers arrive PRE-ENCODED from
+        # stage A (varbyte, first raw + deltas) — concatenate in sorted
+        # posting order and slice per block by byte offsets, zero re-encode
+        pos_buf = b"".join(pos_lists)
+        plens = np.fromiter(map(len, pos_lists), dtype=np.int64, count=n)
+        p_bytes = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(plens, out=p_bytes[1:])
         bmax = np.maximum.reduceat(tfnorm, block_starts)
 
         term_col = terms[block_starts]
@@ -440,7 +433,7 @@ def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
                     for bi in range(len(block_starts))
                 ],
                 "poss": [
-                    pos_buf[pos_off[p_bounds[s]] : pos_off[p_bounds[e]]]
+                    pos_buf[p_bytes[s] : p_bytes[e]]
                     for s, e in zip(block_starts, block_ends)
                 ],
                 "block_max_tfnorm": bmax,
@@ -490,22 +483,36 @@ def build_postings(
     # docs carry doc_len inline (denormalized at stage A) so stage B needs
     # NO join — the term shuffle is the build's only wide dependency
     docs = spark.read.parquet(cat.docs)
+    # per-posting positions = a JVM substring of the per-doc varbyte blob
+    # (pos_offs delimits each term's slice) — the Python boundary never
+    # sees positions again after stage A
+    nt = F.size("terms")
     postings_in = (
         docs.select(
             "doc_id",
             "doc_len",
-            F.explode(F.arrays_zip("terms", "tfs", "positions")).alias("z"),
+            "pos_blob",
+            F.explode(
+                F.arrays_zip(
+                    F.col("terms").alias("term"),
+                    F.col("tfs").alias("tf"),
+                    F.slice("pos_offs", F.lit(1), nt).alias("o0"),
+                    F.slice("pos_offs", F.lit(2), nt).alias("o1"),
+                )
+            ).alias("z"),
         )
         .select(
             F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
-            F.pmod(F.xxhash64("z.terms"), F.lit(cfg.build_fanout))
+            F.pmod(F.xxhash64("z.term"), F.lit(cfg.build_fanout))
             .cast("int")
             .alias("tgroup"),
-            F.col("z.terms").alias("term"),
+            F.col("z.term").alias("term"),
             "doc_id",
-            F.col("z.tfs").alias("tf"),
+            F.col("z.tf").alias("tf"),
             "doc_len",
-            F.col("z.positions").alias("positions"),
+            F.col("pos_blob")
+            .substr(F.col("z.o0") + F.lit(1), F.col("z.o1") - F.col("z.o0"))
+            .alias("pos"),
         )
     )
     blocks = (
@@ -575,7 +582,7 @@ def build_postings(
 
 _DOC_COLS = [
     "part", "doc_id", "url", "lang", "h1", "h2",
-    "doc_len", "simhash", "terms", "tfs", "positions",
+    "doc_len", "simhash", "terms", "tfs", "pos_blob", "pos_offs",
 ]
 
 
@@ -673,7 +680,8 @@ def upsert_docs(
         F.col("tt.simhash").alias("simhash"),
         F.col("tt.terms").alias("terms"),
         F.col("tt.tfs").alias("tfs"),
-        F.col("tt.positions").alias("positions"),
+        F.col("tt.pos_blob").alias("pos_blob"),
+        F.col("tt.pos_offs").alias("pos_offs"),
     )
     existing = (
         spark.read.parquet(cat.docs)
