@@ -267,13 +267,16 @@ def build_segments(
         t0 = time.time()
         pg = pages_p.filter(F.col("part").isin(group))
         # Cluster rows by part BEFORE the fused UDF: each write task then
-        # owns exactly one part dir -> one file per partition (measured: 41
+        # owns whole part dirs -> one file per partition (measured: 41
         # tasks x 32 dirs produced ~1300 tiny files whose driver-side commit
-        # and later listing erased all scaling).  The raw-text shuffle is
-        # cheap.  ONE fused UDF pass writes the single docs table — terms,
-        # tfs, positions, doc_len, simhash AND the JVM row-hash fingerprint
-        # columns in the same job.
-        enc = pg.repartition(len(group), "part").withColumn(
+        # and later listing erased all scaling).  RANGE partitioning, not
+        # hash: hashing k distinct part values into k slots leaves ~1/e of
+        # the slots empty and doubles others (birthday collisions), so the
+        # tokenize stage ran at ~60% parallelism with 2x stragglers; range
+        # boundaries give ~one part per task.  ONE fused UDF pass writes
+        # the single docs table — terms, tfs, positions, doc_len, simhash
+        # AND the JVM row-hash fingerprint columns in the same job.
+        enc = pg.repartitionByRange(len(group), "part").withColumn(
             "tt", tok_tf_simhash_udf("text")
         )
         docs = enc.select(
@@ -611,7 +614,7 @@ def _merge_parts(
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # materialize BEFORE overwriting the partitions the plan reads from
-    merged = merged.repartition(max(len(parts), 1), "part").localCheckpoint()
+    merged = merged.repartitionByRange(max(len(parts), 1), "part").localCheckpoint()
     live = {int(r["part"]) for r in merged.select("part").distinct().collect()}
     merged.write.mode("overwrite").partitionBy("part").parquet(cat.docs)
     for p in sorted(set(parts) - live):  # partition emptied by a delete

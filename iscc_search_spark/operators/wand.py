@@ -109,10 +109,9 @@ class IndexReader:
         """Exact df per term (cache hit = zero Spark jobs)."""
         if self._stats is not None:
             return {t: self._stats[t] for t in terms if t in self._stats}
-        buckets = sorted({_bucket_of(t, self.n_buckets) for t in terms})
         rows = (
             self.spark.read.parquet(self.cat.term_stats)
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .filter(_term_filter_sql(terms, self.n_buckets))
             .collect()
         )
         return {r["term"]: int(r["df"]) for r in rows}
@@ -125,10 +124,22 @@ class IndexReader:
         }
 
     def candidate_blocks(self, terms: list[str]) -> DataFrame:
-        buckets = sorted({_bucket_of(t, self.n_buckets) for t in terms})
-        return self.blocks.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        )
+        return self.blocks.filter(_term_filter_sql(terms, self.n_buckets))
+
+
+def _term_filter_sql(terms: list[str], n_buckets: int) -> str:
+    """bucket+term IN-filter as ONE SQL string.
+
+    ``Column.isin(list)`` builds a py4j literal per element — ~0.5 ms each,
+    so a 1500-term query batch spent ~0.8 s of DRIVER time just assembling
+    the filter (measured; it was the largest serial term in the query
+    throughput fit).  A SQL string is one py4j call and parses JVM-side
+    into the identical pushed-down In predicate.
+    """
+    buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
+    bs = ", ".join(str(b) for b in buckets)
+    ts = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(terms))
+    return f"bucket IN ({bs}) AND term IN ({ts})"
 
 
 def _as_reader(spark: SparkSession, index: str | IndexReader) -> IndexReader:

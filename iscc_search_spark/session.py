@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # this engine's wide stages run Arrow-batched PYTHON work whose
+        # cost-per-byte dwarfs JVM shuffle handling: AQE's default 64 MB
+        # advisory size coalesces the build shuffle to fewer tasks than
+        # cores and serializes the encode — keep partitions fine-grained
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -59,6 +64,10 @@ def get_spark(
         # zstd: ~2x smaller files than snappy — trades (scalable) CPU for
         # (serial, single-disk) IO, which is the local write floor
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # v2 commit: per-task renames instead of a driver-serial move of
+        # every output file at job end (128-file partitioned writes were
+        # paying a measurable serial commit on the build path)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
