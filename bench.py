@@ -114,11 +114,27 @@ def main() -> None:
             lambda: phrase_match(spark, reader, "t00001 t00000").count(),
         )
 
+        # multi-unit search split the way a deployment runs it: the unit
+        # table is a build-time artifact (the reference stores units per
+        # asset), search reuses it
+        from iscc_search_spark.operators.multiunit import (
+            asset_units,
+            search_assets_multiunit,
+        )
+
+        units = timed(
+            "multiunit_units_build",
+            lambda: asset_units(docs_sf).localCheckpoint(),
+        )
+        timed(
+            "multiunit_search_only",
+            lambda: search_assets_multiunit(docs_sf, 7, k=10, units=units).collect(),
+        )
+
         # 4) headline operators over the testdata tables
         for name in [
             "t1_bm25_topk_q1",
             "t1_bm25_topk_q2",
-            "j_multiunit_search",
             "a7_granular_simprint_search",
             # unigram minhash is in the correctness gate; at sf0.1 the tiny
             # 31-term vocabulary makes unigram token-SET signatures collide

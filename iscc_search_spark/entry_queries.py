@@ -773,6 +773,36 @@ q AS (SELECT us // CAST('{2 ** 60}' AS HUGEINT) AS p FROM u WHERE doc_id = {MLT_
 SELECT u.doc_id, u.simhash AS content_sh
 FROM u, q WHERE u.us // CAST('{2 ** 60}' AS HUGEINT) = q.p"""
 
+    # --- variable-length unit NPHD search (the reference's unit metric) ----
+    def nphd(spark, sf):
+        from iscc_search_spark.operators.multiunit import (
+            mixed_length_units,
+            nphd_topk,
+        )
+
+        units = mixed_length_units(_t(spark, sf, "documents"))
+        out = nphd_topk(units, MLT_DOC, k=10)
+        return out.withColumn("nphd", F.round("nphd", 6)).withColumn(
+            "score", F.round("score", 6)
+        )
+
+    queries["f_nphd_mixed_topk"] = nphd
+    oracles["f_nphd_mixed_topk"] = f"""{UNITS_CTE},
+mx AS (SELECT doc_id, content_sh AS hi,
+              CASE WHEN doc_id % 2 = 0 THEN data_sh END AS lo,
+              CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 64 END AS bits FROM un),
+q AS (SELECT hi AS qh, COALESCE(lo, 0) AS ql, bits AS qb FROM mx WHERE doc_id = {MLT_DOC}),
+d AS (SELECT mx.doc_id,
+             CASE WHEN least(mx.bits, q.qb) <= 64
+                  THEN CAST(bit_count(xor(mx.hi, q.qh)) AS DOUBLE) / {_d(64.0)}
+                  ELSE CAST(bit_count(xor(mx.hi, q.qh)) + bit_count(xor(COALESCE(mx.lo, 0), q.ql)) AS DOUBLE) / {_d(128.0)}
+             END AS nphd
+      FROM mx, q WHERE mx.doc_id <> {MLT_DOC})
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(nphd, 6) AS nphd,
+       round({_d(1.0)} - nphd, 6) AS score FROM (
+  SELECT doc_id, nphd, row_number() OVER (ORDER BY nphd, doc_id) AS rank FROM d
+) WHERE rank <= 10"""
+
     # --- chunk-level (granular) simprint search (A6/A7/B2 family) ----------
     # fixed 64-token query (2 segments) over the testdata vocabulary; its
     # segment simhashes are computed here in Python and inlined into the

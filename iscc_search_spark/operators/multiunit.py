@@ -110,6 +110,76 @@ def _band_pred(col: str, qval: int, n_bands: int) -> Column:
     return pred
 
 
+def nphd_expr(
+    hi: Column, lo: Column, bits: Column, q_hi: int, q_lo: int, q_bits: int
+) -> Column:
+    """Normalized Prefix Hamming Distance for variable-length units.
+
+    The reference compares units of different lengths (64/128/192/256 bit)
+    over their COMMON PREFIX, normalizing by the prefix length — the NPHD
+    metric of its ShardedNphdIndex (iscc_search/indexes/usearch/index.py:
+    92-101, 2024-2045; the iscc-usearch package's documented semantics).
+    This engine materializes 64- and 128-bit units as (hi, lo?, bits):
+        nphd = popcount(xor over min(bits_a, bits_b) prefix) / min_bits
+    All values are dyadic rationals (k/64 or k/128) — exact in float64.
+    """
+    min_bits = F.least(bits, F.lit(q_bits))
+    h64 = F.bit_count(hi.bitwiseXOR(F.lit(q_hi))).cast("double") / F.lit(64.0)
+    h128 = (
+        F.bit_count(hi.bitwiseXOR(F.lit(q_hi)))
+        + F.bit_count(F.coalesce(lo, F.lit(0)).bitwiseXOR(F.lit(q_lo)))
+    ).cast("double") / F.lit(128.0)
+    return F.when(min_bits <= F.lit(64), h64).otherwise(h128)
+
+
+def nphd_topk(
+    units: DataFrame,
+    query_doc_id: int,
+    k: int = 10,
+    hi_col: str = "hi",
+    lo_col: str = "lo",
+    bits_col: str = "bits",
+) -> DataFrame:
+    """(rank, doc_id, nphd, score) nearest units to the query doc's unit by
+    NPHD over a MIXED-length unit table (self-excluded; score = 1 - nphd,
+    the reference's similarity, usearch/index.py:2040-2045)."""
+    spark = units.sparkSession
+    q = units.filter(F.col("doc_id") == query_doc_id).collect()
+    empty = spark.createDataFrame(
+        [], "rank long, doc_id long, nphd double, score double"
+    )
+    if not q:
+        return empty
+    q_hi = int(q[0][hi_col])
+    q_lo = int(q[0][lo_col]) if q[0][lo_col] is not None else 0
+    q_bits = int(q[0][bits_col])
+    d = nphd_expr(F.col(hi_col), F.col(lo_col), F.col(bits_col), q_hi, q_lo, q_bits)
+    scored = units.filter(F.col("doc_id") != query_doc_id).select(
+        "doc_id", d.alias("nphd"), (F.lit(1.0) - d).alias("score")
+    )
+    topk = scored.orderBy(F.asc("nphd"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.asc("nphd"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "nphd", "score"
+    )
+
+
+def mixed_length_units(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, hi, lo, bits) variable-length unit table: even doc_ids get
+    128-bit units (content||data simhash), odd keep 64-bit (content) —
+    the deterministic mixed-length fixture for NPHD parity."""
+    u = asset_units(docs, text_col, id_col)
+    is128 = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    return u.select(
+        "doc_id",
+        F.col("content_sh").alias("hi"),
+        F.when(is128, F.col("data_sh")).alias("lo"),
+        F.when(is128, F.lit(128)).otherwise(F.lit(64)).alias("bits"),
+    )
+
+
 def unit_prefix_range(prefix_value: int, prefix_bits: int) -> tuple[int, int]:
     """[lo, hi] SIGNED int64 bounds of the unsigned prefix range.
 

@@ -183,3 +183,37 @@ def test_multiunit_search_python_oracle(spark):
     for (_, sw, _), (_, sg, _) in zip(want, got):
         assert abs(sw - sg) < 1e-12
     assert want, "query doc should have confident matches"
+
+
+def test_nphd_mixed_lengths_python_oracle(spark):
+    """NPHD over a mixed 64/128-bit unit table vs brute-force Python:
+    distance = hamming over the common prefix / prefix bits."""
+    from iscc_search_spark.operators.multiunit import mixed_length_units, nphd_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    units = mixed_length_units(docs)
+    rows = {r["doc_id"]: (r["hi"], r["lo"], r["bits"]) for r in units.collect()}
+    # fixture shape: odd ids 64-bit (lo null), even ids 128-bit
+    assert all((b == 64) == (lo is None) for _, lo, b in rows.values())
+
+    def ham64(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    for qid in (7, 8):  # one 64-bit query, one 128-bit query
+        qh, ql, qb = rows[qid]
+        want = []
+        for did, (h, lo, b) in rows.items():
+            if did == qid:
+                continue
+            mb = min(b, qb)
+            if mb <= 64:
+                d = ham64(h, qh) / 64.0
+            else:
+                d = (ham64(h, qh) + ham64(lo, ql)) / 128.0
+            want.append((did, d))
+        want.sort(key=lambda x: (x[1], x[0]))
+        got = [
+            (r["doc_id"], r["nphd"])
+            for r in nphd_topk(units, qid, k=10).orderBy("rank").collect()
+        ]
+        assert got == want[:10], qid
