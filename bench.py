@@ -50,7 +50,9 @@ def main() -> None:
         return out
 
     try:
-        # 1) index build over a generated pages corpus (the north-rule job)
+        # 1) index build over a generated pages corpus (the north-rule job:
+        #    postings-only, comparable across rounds), then the stage-C
+        #    similarity artifacts (units + simprints) timed separately
         pages_path = os.path.join(work, "pages.parquet")
         corpus.write_pages(pages_path, bench_docs, seed=42)
         pages = spark.read.parquet(pages_path)
@@ -60,10 +62,18 @@ def main() -> None:
             "index_build_pages",
             lambda: build_index(
                 spark, pages, idx_dir, cfg=cfg,
-                n_parts=cpus, n_shards=cpus, group_size=cpus,
+                n_parts=cpus, n_shards=cpus, group_size=cpus, derived=False,
             ),
         )
         extra["build_docs_per_sec"] = round(bench_docs / timings["index_build_pages"], 1)
+
+        from iscc_search_spark.catalog import IndexCatalog
+        from iscc_search_spark.operators.build import build_derived
+
+        timed(
+            "similarity_tables_build",
+            lambda: build_derived(spark, IndexCatalog(idx_dir)),
+        )
 
         # 2) BM25 top-10 over the compressed index (block-max WAND path):
         #    open the index ONCE (meta + driver stats cache + file listing,
@@ -114,21 +124,32 @@ def main() -> None:
             lambda: phrase_match(spark, reader, "t00001 t00000").count(),
         )
 
-        # multi-unit search split the way a deployment runs it: the unit
-        # table is a build-time artifact (the reference stores units per
-        # asset), search reuses it
+        # the similarity family served from PERSISTED build artifacts: one
+        # timed index build over the documents table (docs + postings +
+        # units + simprints), then each query reads its stage-C table from
+        # disk — the deployment shape (no per-query corpus recompute)
+        from iscc_search_spark.entry_queries import _built_index
+        from iscc_search_spark.operators.build import load_units
         from iscc_search_spark.operators.multiunit import (
-            asset_units,
+            mixed_length_units,
+            nphd_topk,
             search_assets_multiunit,
         )
 
-        units = timed(
-            "multiunit_units_build",
-            lambda: asset_units(docs_sf).localCheckpoint(),
+        docs_idx = timed(
+            "documents_index_build_full", lambda: _built_index(spark, sf_dir)
         )
         timed(
-            "multiunit_search_only",
-            lambda: search_assets_multiunit(docs_sf, 7, k=10, units=units).collect(),
+            "multiunit_search_persisted",
+            lambda: search_assets_multiunit(
+                None, 7, k=10, units=load_units(spark, docs_idx)
+            ).collect(),
+        )
+        timed(
+            "nphd_topk_persisted",
+            lambda: nphd_topk(
+                mixed_length_units(units=load_units(spark, docs_idx)), 7, k=10
+            ).collect(),
         )
 
         # 4) headline operators over the testdata tables

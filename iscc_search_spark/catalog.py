@@ -10,9 +10,17 @@ fingerprint columns), everything else is derived and re-creatable from it.
 
     <index_dir>/
       docs/part=N/            (doc_id, url, lang, h1, h2, doc_len, simhash,
-                               terms, tfs, positions)    source of truth
-      postings/bucket=B/      compressed posting blocks (FOR + varbyte)
+                               data_sh, instance, segs, terms, tfs,
+                               positions)                source of truth
+      postings/bucket=B/shard=S/  compressed posting blocks (FOR + varbyte);
+                              shard dirs make upsert/delete incremental
       term_stats/bucket=B/    (term, df)                 global exact stats
+      units/part=N/           (doc_id, content_sh, data_sh, instance) —
+                              per-asset similarity units, sorted by
+                              content_sh within each part (prefix scans)
+      simprints/part=N/       (doc_id, seg_idx, n_tokens, offset, size,
+                              simhash) granular segment simprints, sorted
+                              by simhash within each part
       meta.json               (n_docs, avgdl, config, lineage)
       _checkpoints/           per-input-partition fingerprints (resumability)
       _metrics/               build lineage + throughput rows
@@ -42,6 +50,14 @@ class IndexCatalog:
     @property
     def term_stats(self) -> str:
         return self.path("term_stats")
+
+    @property
+    def units(self) -> str:
+        return self.path("units")
+
+    @property
+    def simprints(self) -> str:
+        return self.path("simprints")
 
     @property
     def checkpoints(self) -> str:

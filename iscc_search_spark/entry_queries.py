@@ -688,14 +688,17 @@ un AS (SELECT d.doc_id, sh.simhash AS content_sh,
     def f4(spark, sf):
         # unit values round-tripped THROUGH the composite codec: compose an
         # ISCC-CODE per doc (F4), decompose it back, emit the unit bodies —
-        # any composition/decomposition defect breaks the value match
+        # any composition/decomposition defect breaks the value match.
+        # Units come from the PERSISTED build artifact (stage C), matching
+        # the oracle's from-text derivation — a build-side defect in the
+        # stored units would also break this gate.
         from iscc_search_spark.functions.iscc_codec import (
             iscc_code_udf,
             iscc_decompose_units_udf,
         )
-        from iscc_search_spark.operators.multiunit import asset_units
+        from iscc_search_spark.operators.build import load_units
 
-        units = asset_units(_t(spark, sf, "documents"))
+        units = load_units(spark, _built_index(spark, sf))
         coded = units.select(
             "doc_id",
             iscc_code_udf("content_sh", "data_sh", "instance").alias("iscc"),
@@ -715,9 +718,13 @@ un AS (SELECT d.doc_id, sh.simhash AS content_sh,
     )
 
     def jmu(spark, sf):
+        # serves from the PERSISTED units table (stage C build artifact) —
+        # no per-query recompute of the corpus units
+        from iscc_search_spark.operators.build import load_units
         from iscc_search_spark.operators.multiunit import search_assets_multiunit
 
-        out = search_assets_multiunit(_t(spark, sf, "documents"), MLT_DOC, k=10)
+        units = load_units(spark, _built_index(spark, sf))
+        out = search_assets_multiunit(None, MLT_DOC, k=10, units=units)
         return out.withColumn("score", F.round("score", 6))
 
     queries["j_multiunit_search"] = jmu
@@ -754,12 +761,13 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(score, 6) AS score, n_units F
     # range (unsigned prefix ranges are contiguous in signed space); the
     # oracle derives the same prefix from the same doc in SQL
     def j2b(spark, sf):
-        from iscc_search_spark.operators.multiunit import (
-            asset_units,
-            unit_prefix_scan,
-        )
+        # prefix range scan over the persisted units table — laid out
+        # sorted by content_sh within each part, so parquet row-group
+        # min/max stats prune the BETWEEN predicate
+        from iscc_search_spark.operators.build import load_units
+        from iscc_search_spark.operators.multiunit import unit_prefix_scan
 
-        units = asset_units(_t(spark, sf, "documents"))
+        units = load_units(spark, _built_index(spark, sf))
         qrow = units.filter(F.col("doc_id") == MLT_DOC).collect()
         prefix = (int(qrow[0]["content_sh"]) & (2**64 - 1)) >> 60
         return unit_prefix_scan(units, prefix, 4)
@@ -775,12 +783,13 @@ FROM u, q WHERE u.us // CAST('{2 ** 60}' AS HUGEINT) = q.p"""
 
     # --- variable-length unit NPHD search (the reference's unit metric) ----
     def nphd(spark, sf):
+        from iscc_search_spark.operators.build import load_units
         from iscc_search_spark.operators.multiunit import (
             mixed_length_units,
             nphd_topk,
         )
 
-        units = mixed_length_units(_t(spark, sf, "documents"))
+        units = mixed_length_units(units=load_units(spark, _built_index(spark, sf)))
         out = nphd_topk(units, MLT_DOC, k=10)
         return out.withColumn("nphd", F.round("nphd", 6)).withColumn(
             "score", F.round("score", 6)
@@ -803,6 +812,59 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(nphd, 6) AS nphd,
   SELECT doc_id, nphd, row_number() OVER (ORDER BY nphd, doc_id) AS rank FROM d
 ) WHERE rank <= 10"""
 
+    # --- WIDE (64/128/192/256-bit) NPHD with the banded candidate prune ----
+    # fixture widths cycle by doc_id % 4; limbs = (content, data, instance,
+    # content^data); query doc 7 -> 192-bit; threshold 0.25 activates the
+    # lossless pigeonhole prune (floor(0.25*m)+1 bands over each width's
+    # m-bit common prefix)
+    NPHD_T = 0.25
+
+    def nphdw(spark, sf):
+        from iscc_search_spark.operators.build import load_units
+        from iscc_search_spark.operators.multiunit import (
+            nphd_topk_wide,
+            wide_length_units,
+        )
+
+        u = wide_length_units(load_units(spark, _built_index(spark, sf)))
+        out = nphd_topk_wide(u, MLT_DOC, k=10, max_nphd=NPHD_T)
+        return out.withColumn("nphd", F.round("nphd", 6)).withColumn(
+            "score", F.round("score", 6)
+        )
+
+    queries["f_nphd_wide_topk"] = nphdw
+    _x = "xor"
+    oracles["f_nphd_wide_topk"] = f"""{UNITS_CTE},
+mx AS (SELECT doc_id, content_sh AS u0,
+              CASE WHEN doc_id % 4 IN (0, 2, 3) THEN data_sh END AS u1,
+              CASE WHEN doc_id % 4 IN (0, 3) THEN instance END AS u2,
+              CASE WHEN doc_id % 4 = 0 THEN {_x}(content_sh, data_sh) END AS u3,
+              CASE doc_id % 4 WHEN 0 THEN 256 WHEN 1 THEN 64
+                              WHEN 2 THEN 128 ELSE 192 END AS bits
+       FROM un),
+q AS (SELECT COALESCE(u0, 0) AS q0, COALESCE(u1, 0) AS q1,
+             COALESCE(u2, 0) AS q2, COALESCE(u3, 0) AS q3, bits AS qb
+      FROM mx WHERE doc_id = {MLT_DOC}),
+d AS (SELECT mx.doc_id,
+             CASE least(mx.bits, q.qb)
+               WHEN 64 THEN CAST(bit_count({_x}(u0, q.q0)) AS DOUBLE) / {_d(64.0)}
+               WHEN 128 THEN CAST(bit_count({_x}(u0, q.q0))
+                   + bit_count({_x}(COALESCE(u1, 0), q.q1)) AS DOUBLE) / {_d(128.0)}
+               WHEN 192 THEN CAST(bit_count({_x}(u0, q.q0))
+                   + bit_count({_x}(COALESCE(u1, 0), q.q1))
+                   + bit_count({_x}(COALESCE(u2, 0), q.q2)) AS DOUBLE) / {_d(192.0)}
+               ELSE CAST(bit_count({_x}(u0, q.q0))
+                   + bit_count({_x}(COALESCE(u1, 0), q.q1))
+                   + bit_count({_x}(COALESCE(u2, 0), q.q2))
+                   + bit_count({_x}(COALESCE(u3, 0), q.q3)) AS DOUBLE) / {_d(256.0)}
+             END AS nphd
+      FROM mx, q WHERE mx.doc_id <> {MLT_DOC})
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(nphd, 6) AS nphd,
+       round({_d(1.0)} - nphd, 6) AS score FROM (
+  SELECT doc_id, nphd, row_number() OVER (ORDER BY nphd, doc_id) AS rank
+  FROM d WHERE nphd <= {_d(NPHD_T)}
+) WHERE rank <= 10"""
+
     # --- chunk-level (granular) simprint search (A6/A7/B2 family) ----------
     # fixed 64-token query (2 segments) over the testdata vocabulary; its
     # segment simhashes are computed here in Python and inlined into the
@@ -817,10 +879,14 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(nphd, 6) AS nphd,
     )
 
     def a7(spark, sf):
+        # serves from the PERSISTED simprints table (stage C build artifact)
+        from iscc_search_spark.operators.build import load_simprints
         from iscc_search_spark.operators.simprints import granular_topk
 
-        docs = _t(spark, sf, "documents")
-        out = granular_topk(docs, GRANULAR_QUERY, k=10, max_hamming=12)
+        sp = load_simprints(spark, _built_index(spark, sf))
+        out = granular_topk(
+            None, GRANULAR_QUERY, k=10, max_hamming=12, simprints=sp
+        )
         return out.withColumn("score", F.round("score", 6))
 
     queries["a7_granular_simprint_search"] = a7
@@ -920,8 +986,12 @@ SELECT CAST(rank AS BIGINT) AS rank, o_orderkey, o_custkey, o_totalprice FROM (
 ) WHERE rank <= 10"""
 
     def u4(spark, sf):
+        # customers with no LARGE order (o_totalprice > 300k): the filtered
+        # anti-join returns a NON-EMPTY set on every sf (the plain
+        # no-orders variant is trivially empty in this testdata — 0 rows
+        # matched 0 rows and never exercised the join)
         c = _t(spark, sf, "customer")
-        o = _t(spark, sf, "orders")
+        o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000.0)
         return c.join(
             o, c.c_custkey == o.o_custkey, "left_anti"
         ).select("c_custkey", "c_name")
@@ -932,7 +1002,8 @@ SELECT CAST(rank AS BIGINT) AS rank, o_orderkey, o_custkey, o_totalprice FROM (
     # Spark left_anti null semantics
     oracles["u4_customers_without_orders"] = (
         "SELECT c_custkey, c_name FROM customer c "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > CAST(300000.0 AS DOUBLE))"
     )
 
     def b3(spark, sf):

@@ -42,6 +42,18 @@ def doc_id_py(url: str) -> int:
     return int.from_bytes(d, "big", signed=True)
 
 
+def instance_expr(text_col: Column | str) -> Column:
+    """INSTANCE_V0 stand-in: exact 64-bit content hash — first 16 hex chars
+    of md5(text) as signed int64, assembled from two 32-bit halves (a single
+    16-hex conv would overflow the cast).  Pure JVM codegen; stands in for
+    the reference's blake3 with the same exact-identity semantics."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    md5 = F.md5(col)
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 # --- md5-based 32-bit token hash (portable) ---------------------------------
 
 

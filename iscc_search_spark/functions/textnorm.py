@@ -95,6 +95,31 @@ def tokenize_py(text: str) -> list[str]:
     return [t for t in _PY_SPLIT.split(norm) if t]
 
 
+def token_spans_py(text: str) -> tuple[list[str], list[tuple[int, int]]]:
+    """(tokens, [(byte_start, byte_end)]) over the canonical text (NFC +
+    lowercase); maximal [0-9a-z]+ runs — identical token sequence to
+    tokenize_py (both are the non-empty maximal runs between separators).
+    The byte spans feed the granular simprint (offset, size) chunk pointers
+    (the analogue of the reference's IsccChunk, schema.py:260-320)."""
+    norm = unicodedata.normalize("NFC", text).lower()
+    toks, spans = [], []
+    ascii_only = norm.isascii()
+    if not ascii_only:
+        import numpy as np
+
+        o = np.fromiter(map(ord, norm), dtype=np.int64, count=len(norm))
+        blen = 1 + (o > 0x7F).astype(np.int64) + (o > 0x7FF) + (o > 0xFFFF)
+        cum = np.zeros(len(norm) + 1, dtype=np.int64)
+        np.cumsum(blen, out=cum[1:])
+    for m in re.finditer(r"[0-9a-z]+", norm):
+        toks.append(m.group())
+        if ascii_only:
+            spans.append((m.start(), m.end()))
+        else:
+            spans.append((int(cum[m.start()]), int(cum[m.end()])))
+    return toks, spans
+
+
 # --- fused tokenize + tf + positions + simhash (the index-build map stage) --
 # One Arrow-batched pass per document: term frequencies AND per-term token
 # positions (doc-local, so NO shuffle is needed to aggregate them) and the
@@ -109,6 +134,18 @@ def tokenize_py(text: str) -> list[str]:
 # array<array<int>> column costs a Python->Arrow crossing per POSTING
 # (measured 3x slower stage A at 100k docs), a blob costs one per DOC and
 # ships through the stage-B shuffle as compact bytes
+SEG_TOKENS = 32  # granular simprint window (tokens per segment)
+
+SEG_STRUCT = T.StructType(
+    [
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("size", T.IntegerType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
 TOKTF_SCHEMA = T.StructType(
     [
         T.StructField("terms", T.ArrayType(T.StringType())),
@@ -117,6 +154,12 @@ TOKTF_SCHEMA = T.StructType(
         T.StructField("pos_offs", T.ArrayType(T.IntegerType())),
         T.StructField("doc_len", T.LongType()),
         T.StructField("simhash", T.LongType()),
+        # derived similarity units, computed in the SAME pass while the
+        # token stream is in hand (the shingle set and segment windows are
+        # sequence-dependent, so they cannot be derived later from the
+        # order-free (terms, tfs) columns without a re-tokenize):
+        T.StructField("data_sh", T.LongType()),          # DATA_V0 stand-in
+        T.StructField("segs", T.ArrayType(SEG_STRUCT)),  # granular simprints
     ]
 )
 
@@ -203,11 +246,68 @@ def _encode_positions_batch(within, gstarts, gdoc_off, doc_off, n_docs: int):
     return blobs, offs_out
 
 
+def _shingle_sets(doc_tokens: list[list[str]]):
+    """Per-doc DISTINCT 3-gram shingle arrays (space-joined token windows)
+    — the DATA_V0 stand-in's feature set (order-free, so a set is exact)."""
+    import numpy as np
+
+    out = []
+    for toks in doc_tokens:
+        if len(toks) >= 3:
+            out.append(
+                np.array(
+                    list({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}),
+                    dtype=object,
+                )
+            )
+        else:
+            out.append(np.empty(0, dtype=object))
+    return out
+
+
+def _segments_batch(doc_tokens, doc_spans, seg_tokens: int = SEG_TOKENS):
+    """Per-doc [(seg_idx, n_tokens, offset, size, simhash)] — fixed
+    ``seg_tokens`` token windows, simhashed with the SAME whole-batch
+    grouping + kernel as documents (all windows of the Arrow batch are
+    flattened and hashed in one vectorized pass)."""
+    from iscc_search_spark.functions.simhash import simhash_batch
+
+    seg_lists: list[list[str]] = []
+    counts: list[int] = []
+    metas: list[tuple[int, int, int, int]] = []
+    for toks, spans in zip(doc_tokens, doc_spans):
+        n = 0
+        for i in range(0, len(toks), seg_tokens):
+            window = toks[i : i + seg_tokens]
+            end_t = min(i + seg_tokens, len(toks)) - 1
+            start_b = spans[i][0]
+            metas.append(
+                (i // seg_tokens, len(window), start_b, spans[end_t][1] - start_b)
+            )
+            seg_lists.append(window)
+            n += 1
+        counts.append(n)
+    if not seg_lists:
+        return [[] for _ in doc_tokens]
+    terms_out, tfs_out, _, _ = _group_tokens_batch(seg_lists)
+    hashes = simhash_batch(terms_out, tfs_out)
+    out, k = [], 0
+    for c in counts:
+        out.append(
+            [(m[0], m[1], m[2], m[3], int(h))
+             for m, h in zip(metas[k : k + c], hashes[k : k + c])]
+        )
+        k += c
+    return out
+
+
 @F.pandas_udf(TOKTF_SCHEMA)
 def tok_tf_simhash_udf(text: pd.Series) -> pd.DataFrame:
     from iscc_search_spark.functions.simhash import simhash_batch
 
-    doc_tokens = [tokenize_py(t) if t is not None else [] for t in text]
+    tok_span = [token_spans_py(t) if t is not None else ([], []) for t in text]
+    doc_tokens = [ts[0] for ts in tok_span]
+    doc_spans = [ts[1] for ts in tok_span]
     terms_out, tfs_out, posinfo, lens = _group_tokens_batch(doc_tokens)
     within, gstarts, gdoc_off, doc_off = (
         posinfo
@@ -225,6 +325,11 @@ def tok_tf_simhash_udf(text: pd.Series) -> pd.DataFrame:
         within, gstarts, gdoc_off, doc_off, len(doc_tokens)
     )
     sh = simhash_batch(terms_out, tfs_out)
+    shingles = _shingle_sets(doc_tokens)
+    data_sh = simhash_batch(
+        shingles, [np.ones(len(s), dtype=np.int64) for s in shingles]
+    )
+    segs = _segments_batch(doc_tokens, doc_spans)
     return pd.DataFrame(
         {
             "terms": [list(t) for t in terms_out],
@@ -233,5 +338,7 @@ def tok_tf_simhash_udf(text: pd.Series) -> pd.DataFrame:
             "pos_offs": pos_offs,
             "doc_len": lens,
             "simhash": sh,
+            "data_sh": data_sh,
+            "segs": segs,
         }
     )

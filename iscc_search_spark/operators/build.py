@@ -62,13 +62,19 @@ from pyspark.sql import functions as F
 from iscc_search_spark.catalog import IndexCatalog
 from iscc_search_spark.config import DEFAULT, EngineConfig
 from iscc_search_spark.functions import codec
-from iscc_search_spark.functions.hashing import doc_id_udf
+from iscc_search_spark.functions.hashing import doc_id_udf, instance_expr
 from iscc_search_spark.functions.textnorm import tok_tf_simhash_udf
 
+# per-block metadata stores (max_tf, min_dl) instead of a precomputed
+# max-tfnorm: tfnorm is increasing in tf and decreasing in dl, so
+# tfnorm(max_tf, min_dl) under the CURRENT corpus avgdl is a valid block
+# upper bound for ANY avgdl — incremental upserts may shift avgdl without
+# invalidating untouched blocks' metadata (the full-rebuild alternative
+# would re-encode the world to refresh a float)
 POSTINGS_SCHEMA = (
     "shard int, bucket int, term string, block_id int, n int, "
     "min_doc long, max_doc long, doc_ids binary, tfs binary, dls binary, "
-    "poss binary, block_max_tfnorm double"
+    "poss binary, max_tf int, min_dl long"
 )
 
 
@@ -288,6 +294,9 @@ def build_segments(
             h2,
             F.col("tt.doc_len").alias("doc_len"),
             F.col("tt.simhash").alias("simhash"),
+            instance_expr("text").alias("instance"),
+            F.col("tt.data_sh").alias("data_sh"),
+            F.col("tt.segs").alias("segs"),
             F.col("tt.terms").alias("terms"),
             F.col("tt.tfs").alias("tfs"),
             F.col("tt.pos_blob").alias("pos_blob"),
@@ -343,10 +352,100 @@ def build_segments(
     return built, skipped
 
 
+# --- stage C: derived similarity tables (units, simprints) --------------------
+# The reference stores ONE derived index per unit/simprint type, rebuildable
+# from the source of truth (iscc_search/indexes/usearch/index.py:1602-1648;
+# docs/explanation/architecture.md:117-118).  Here the derived tables are
+# PROJECTIONS of the docs table (all similarity values were computed in the
+# stage-A pass), laid out for their query shapes:
+#   units/part=N      sorted by content_sh -> row-group stats prune binary
+#                     unit-prefix range scans (J2) within every part file;
+#   simprints/part=N  segments exploded to rows, sorted by simhash.
+# Partitioning by the SAME url-part as docs makes upsert/delete maintenance
+# a targeted per-partition rewrite (no shuffle beyond the affected parts).
+
+
+def build_derived(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    parts: list[int] | None = None,
+) -> None:
+    """Write/refresh the units + simprints tables from docs.
+
+    ``parts=None`` -> full rebuild (clean overwrite of both tables);
+    ``parts=[...]`` -> rewrite only those part dirs (upsert/delete path).
+    """
+    import os
+    import shutil
+
+    if parts is not None and not parts:
+        return
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    docs = spark.read.parquet(cat.docs)
+    if parts is None:
+        # full overwrite must not leave stale part dirs behind
+        shutil.rmtree(cat.units, ignore_errors=True)
+        shutil.rmtree(cat.simprints, ignore_errors=True)
+        n = max(len(_read_checkpoint_rows(spark, cat)), 1)
+    else:
+        docs = docs.filter(F.col("part").isin(list(parts)))
+        n = max(len(parts), 1)
+        for p in parts:  # clear affected dirs (a part may become empty)
+            shutil.rmtree(os.path.join(cat.units, f"part={p}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(cat.simprints, f"part={p}"), ignore_errors=True)
+
+    units = docs.select(
+        "part",
+        "doc_id",
+        F.col("simhash").alias("content_sh"),
+        "data_sh",
+        "instance",
+    )
+    (
+        units.repartitionByRange(n, "part")
+        .sortWithinPartitions("part", "content_sh")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(cat.units)
+    )
+    sp = docs.select("part", "doc_id", F.explode("segs").alias("s")).select(
+        "part",
+        "doc_id",
+        F.col("s.seg_idx").alias("seg_idx"),
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.offset").alias("offset"),
+        F.col("s.size").alias("size"),
+        F.col("s.simhash").alias("simhash"),
+    )
+    (
+        sp.repartitionByRange(n, "part")
+        .sortWithinPartitions("part", "simhash")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(cat.simprints)
+    )
+
+
+def load_units(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(doc_id, content_sh, data_sh, instance) from the persisted table."""
+    cat = IndexCatalog(index_dir)
+    return spark.read.parquet(cat.units).select(
+        "doc_id", "content_sh", "data_sh", "instance"
+    )
+
+
+def load_simprints(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(doc_id, seg_idx, n_tokens, offset, size, simhash) persisted."""
+    cat = IndexCatalog(index_dir)
+    return spark.read.parquet(cat.simprints).select(
+        "doc_id", "seg_idx", "n_tokens", "offset", "size", "simhash"
+    )
+
+
 # --- stage B: derived postings ------------------------------------------------
 
 
-def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
+def _encode_blocks_fn(cfg: EngineConfig):
     """Shard-group block encoder (applyInPandas on (shard, tgroup)).
 
     One Python call per group, not per term: rows are lexsorted by
@@ -370,7 +469,6 @@ def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
         tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
         dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
         pos_lists = list(pdf["pos"].to_numpy()[order])
-        tfnorm = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
 
         n = len(terms)
         term_change = np.empty(n, dtype=bool)
@@ -407,7 +505,8 @@ def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
         plens = np.fromiter(map(len, pos_lists), dtype=np.int64, count=n)
         p_bytes = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(plens, out=p_bytes[1:])
-        bmax = np.maximum.reduceat(tfnorm, block_starts)
+        max_tf = np.maximum.reduceat(tfs, block_starts)
+        min_dl = np.minimum.reduceat(dls, block_starts)
 
         term_col = terms[block_starts]
         return pd.DataFrame(
@@ -439,7 +538,8 @@ def _encode_blocks_fn(cfg: EngineConfig, k1: float, b: float, avgdl: float):
                     pos_buf[p_bytes[s] : p_bytes[e]]
                     for s, e in zip(block_starts, block_ends)
                 ],
-                "block_max_tfnorm": bmax,
+                "max_tf": max_tf.astype(np.int32),
+                "min_dl": min_dl,
             }
         )
 
@@ -470,27 +570,13 @@ def corpus_stats_from_checkpoints(
     return n_docs, (total_dl / n_docs if n_docs else 0.0)
 
 
-def build_postings(
-    spark: SparkSession,
-    cat: IndexCatalog,
-    cfg: EngineConfig = DEFAULT,
-    n_shards: int | None = None,
-    run_id: str = "run",
-) -> BuildResult:
-    """Stage B: docs -> sharded compressed postings + term_stats + meta."""
-    t0 = time.time()
-    n_shards = n_shards or 16
-    n_docs, avgdl = corpus_stats_from_checkpoints(spark, cat)
-    k1, b = cfg.bm25.k1, cfg.bm25.b
-
-    # docs carry doc_len inline (denormalized at stage A) so stage B needs
-    # NO join — the term shuffle is the build's only wide dependency
-    docs = spark.read.parquet(cat.docs)
-    # per-posting positions = a JVM substring of the per-doc varbyte blob
-    # (pos_offs delimits each term's slice) — the Python boundary never
-    # sees positions again after stage A
+def _posting_rows(docs: DataFrame, n_shards: int, cfg: EngineConfig) -> DataFrame:
+    """docs -> one row per (doc, term) posting: (shard, tgroup, term,
+    doc_id, tf, doc_len, pos).  Per-posting positions are a JVM substring
+    of the per-doc varbyte blob (pos_offs delimits each term's slice) —
+    the Python boundary never sees positions again after stage A."""
     nt = F.size("terms")
-    postings_in = (
+    return (
         docs.select(
             "doc_id",
             "doc_len",
@@ -518,27 +604,29 @@ def build_postings(
             .alias("pos"),
         )
     )
-    blocks = (
-        postings_in.groupBy("shard", "tgroup")
-        .applyInPandas(_encode_blocks_fn(cfg, k1, b, avgdl), POSTINGS_SCHEMA)
-    )
-    # physical layout: partition dirs by bucket ONLY (the query-time prune
-    # key); shard stays a column — the scorer's groupBy(shard) shuffles the
-    # (tiny, compressed) candidate blocks anyway, and bucket*shard dirs
-    # would explode file-listing cost on the query path.  Within each
-    # bucket file rows are sorted by term so row-group min/max stats prune
-    # non-query terms.
+
+
+def _write_blocks(blocks: DataFrame, path: str, n_buckets: int, n_shards: int) -> None:
+    """Physical layout: partition dirs by (bucket, shard) — bucket is the
+    query-time prune key, shard dirs make upsert/delete a TARGETED
+    per-shard rewrite (dynamic overwrite touches only the changed shard's
+    dirs, the reference's delete-stale-then-insert granularity).  Within
+    each file rows are sorted by term so row-group min/max stats prune
+    non-query terms.  Range (not hash) clustering: hashing k distinct
+    combos into k slots leaves ~1/e empty (birthday collisions)."""
     (
-        blocks.repartition("bucket")
-        .sortWithinPartitions("term", "shard", "block_id")
+        blocks.repartitionByRange(n_buckets * n_shards, "bucket", "shard")
+        .sortWithinPartitions("bucket", "shard", "term", "block_id")
         .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(cat.postings)
+        .partitionBy("bucket", "shard")
+        .parquet(path)
     )
 
-    # global exact term stats, derived from the written block headers —
-    # a (bucket, term, n) columnar scan of the small blocks table, never a
-    # corpus re-scan (df = sum of block counts; (doc, term) is unique)
+
+def _write_term_stats(spark: SparkSession, cat: IndexCatalog) -> None:
+    """Global exact term stats, derived from the written block headers —
+    a (bucket, term, n) columnar scan of the small blocks table, never a
+    corpus re-scan (df = sum of block counts; (doc, term) is unique)."""
     stats = (
         spark.read.parquet(cat.postings)
         .groupBy("bucket", "term")
@@ -552,7 +640,11 @@ def build_postings(
         .parquet(cat.term_stats)
     )
 
-    secs = time.time() - t0
+
+def _write_index_meta(
+    cat: IndexCatalog, cfg: EngineConfig, n_docs: int, avgdl: float,
+    n_shards: int, run_id: str,
+) -> None:
     cat.write_meta(
         {
             "n_docs": n_docs,
@@ -560,12 +652,48 @@ def build_postings(
             "n_shards": n_shards,
             "block_size": cfg.block_size,
             "term_buckets": cfg.term_buckets,
-            "bm25": {"k1": k1, "b": b},
+            "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
             "codec": "for+varbyte",
             "with_positions": True,
             "run_id": run_id,
         }
     )
+
+
+def build_postings(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cfg: EngineConfig = DEFAULT,
+    n_shards: int | None = None,
+    run_id: str = "run",
+) -> BuildResult:
+    """Stage B: docs -> sharded compressed postings + term_stats + meta.
+
+    FULL overwrite semantics: the output dirs are cleared first — dynamic
+    partition overwrite alone would leave stale bucket/shard dirs behind
+    when the new vocabulary misses a bucket (deleted docs could silently
+    resurface from surviving blocks)."""
+    import shutil
+
+    t0 = time.time()
+    n_shards = n_shards or 16
+    n_docs, avgdl = corpus_stats_from_checkpoints(spark, cat)
+    shutil.rmtree(cat.postings, ignore_errors=True)
+    shutil.rmtree(cat.term_stats, ignore_errors=True)
+
+    # docs carry doc_len inline (denormalized at stage A) so stage B needs
+    # NO join — the term shuffle is the build's only wide dependency
+    docs = spark.read.parquet(cat.docs)
+    blocks = (
+        _posting_rows(docs, n_shards, cfg)
+        .groupBy("shard", "tgroup")
+        .applyInPandas(_encode_blocks_fn(cfg), POSTINGS_SCHEMA)
+    )
+    _write_blocks(blocks, cat.postings, cfg.term_buckets, n_shards)
+    _write_term_stats(spark, cat)
+
+    secs = time.time() - t0
+    _write_index_meta(cat, cfg, n_docs, avgdl, n_shards, run_id)
     _append_metrics(
         cat,
         [{"run_id": run_id, "stage": "postings", "part": -1, "docs": n_docs, "secs": secs}],
@@ -578,14 +706,242 @@ def build_postings(
 # then inserting the new ones inside one LMDB txn (usearch/index.py:337-348,
 # simprint/lmdb_ops.py:84-108).  The Spark analogue: merge the delta into
 # ONLY the affected docs partitions (url-keyed upsert / delete), re-commit
-# their checkpoint fingerprints, and rebuild the derived postings (stage B
-# is a deterministic function of docs — the "derived indexes are
-# rebuildable" consistency model, docs/explanation/architecture.md:117-118).
+# their checkpoint fingerprints, and maintain the derived tables
+# incrementally — units/simprints by rewriting the affected url-part dirs,
+# postings by re-encoding ONLY the affected doc-hash shards (old shard
+# blocks are decoded back to posting rows, changed docs dropped, fresh rows
+# merged in, and the shard's (bucket, shard) partition dirs overwritten;
+# term_stats is patched by the old-vs-new shard df diff).  Work scales with
+# |shard| + |delta|, never with the corpus.
+
+_ROWS_SCHEMA = (
+    "shard int, term string, doc_id long, tf long, doc_len long, pos binary"
+)
+
+
+def _blocks_to_rows_fn():
+    """mapInPandas decoder: posting blocks -> per-posting rows, inverse of
+    _encode_blocks_fn (numpy-vectorized per block; the positions payload is
+    re-sliced per posting from the LEB128 code boundaries)."""
+
+    def gen(batches):
+        for pdf in batches:
+            shards, terms, ids, tfs, dls, poss = [], [], [], [], [], []
+            for sh, term, n, min_doc, id_buf, tf_buf, dl_buf, pos_buf in zip(
+                pdf["shard"], pdf["term"], pdf["n"], pdf["min_doc"],
+                pdf["doc_ids"], pdf["tfs"], pdf["dls"], pdf["poss"],
+            ):
+                n = int(n)
+                u0 = np.int64(int(min_doc)).astype(np.uint64) ^ codec._SIGN_BIT
+                d = np.empty(n, dtype=np.uint64)
+                d[0] = u0
+                if n > 1:
+                    d[1:] = u0 + np.cumsum(
+                        codec.for_unpack(id_buf, n - 1), dtype=np.uint64
+                    )
+                d = (d ^ codec._SIGN_BIT).view(np.int64)
+                tf = codec.for_unpack(tf_buf, n).view(np.int64)
+                dl = codec.for_unpack(dl_buf, n).view(np.int64)
+                # positions: LEB128 codes end at bytes with the high bit
+                # clear; posting p owns tf[p] consecutive codes
+                b = np.frombuffer(pos_buf, dtype=np.uint8)
+                ends = np.flatnonzero((b & 0x80) == 0) + 1
+                cum_tf = np.cumsum(tf)
+                pe = ends[cum_tf - 1]
+                ps = np.concatenate([[0], pe[:-1]])
+                poss.extend(bytes(pos_buf[s:e]) for s, e in zip(ps, pe))
+                shards.append(np.full(n, int(sh), dtype=np.int32))
+                terms.extend([term] * n)
+                ids.append(d)
+                tfs.append(tf)
+                dls.append(dl)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "shard": np.concatenate(shards),
+                    "term": terms,
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(tfs),
+                    "doc_len": np.concatenate(dls),
+                    "pos": poss,
+                }
+            )
+
+    return gen
+
+
+def _shards_of(spark: SparkSession, doc_ids: list[int], n_shards: int) -> list[int]:
+    """Doc-hash shards of the given ids (tiny Spark job — shard uses the
+    JVM xxhash64, not computable driver-side)."""
+    if not doc_ids:
+        return []
+    df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    rows = (
+        df.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("s")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["s"]) for r in rows)
+
+
+def update_postings_incremental(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cfg: EngineConfig,
+    changed_ids: list[int],
+    parts: list[int],
+    run_id: str = "update",
+) -> list[int]:
+    """Re-encode ONLY the doc-hash shards containing changed docs.
+
+    Steps (delete-stale-then-insert, usearch/index.py:337-348):
+    1. snapshot the affected shards' per-(bucket, term) df (old state);
+    2. decode the affected shards' blocks to rows, drop changed doc_ids,
+       union fresh rows of the changed docs (read from the affected
+       url-part dirs only), re-encode per (shard, tgroup);
+    3. clear the affected shard partition dirs and rewrite them;
+    4. patch term_stats with the old/new df diff (affected buckets only);
+    5. refresh meta corpus stats from the re-committed checkpoints.
+    Untouched shards' files are never rewritten (mtime-stable).
+    Returns the affected shard list.
+    """
+    import os
+    import shutil
+
+    t0 = time.time()
+    if not changed_ids:
+        return []
+    meta = cat.read_meta()
+    n_shards = int(meta["n_shards"])
+    shards = _shards_of(spark, changed_ids, n_shards)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in sorted(set(changed_ids))], "doc_id long"
+    )
+    shard_sql = ", ".join(str(s) for s in shards)
+
+    # (1) old per-(bucket, term) df of the affected shards — materialized
+    # BEFORE the overwrite invalidates the files the plan reads
+    old_blocks = spark.read.parquet(cat.postings).filter(f"shard IN ({shard_sql})")
+    old_stats = (
+        old_blocks.groupBy("bucket", "term")
+        .agg(F.sum("n").alias("df_old"))
+        .localCheckpoint()
+    )
+
+    # (2) surviving old rows + fresh rows of the changed docs
+    old_rows = (
+        old_blocks.mapInPandas(_blocks_to_rows_fn(), _ROWS_SCHEMA)
+        .join(F.broadcast(ids_df), "doc_id", "left_anti")
+    )
+    part_sql = ", ".join(str(p) for p in parts)
+    fresh_docs = (
+        spark.read.parquet(cat.docs)
+        .filter(f"part IN ({part_sql})" if parts else "false")
+        .join(F.broadcast(ids_df), "doc_id", "left_semi")
+    )
+    fresh_rows = _posting_rows(fresh_docs, n_shards, cfg).drop("tgroup")
+    all_rows = old_rows.unionByName(fresh_rows).withColumn(
+        "tgroup",
+        F.pmod(F.xxhash64("term"), F.lit(cfg.build_fanout)).cast("int"),
+    )
+    blocks = (
+        all_rows.groupBy("shard", "tgroup")
+        .applyInPandas(_encode_blocks_fn(cfg), POSTINGS_SCHEMA)
+        .localCheckpoint()  # materialize before clearing the source dirs
+    )
+
+    # (3) clear + rewrite the affected shard dirs (a shard emptied of some
+    # bucket must not leave stale blocks behind)
+    import glob
+
+    for s in shards:
+        for d in glob.glob(os.path.join(cat.postings, "bucket=*", f"shard={s}")):
+            shutil.rmtree(d, ignore_errors=True)
+    (
+        blocks.repartitionByRange(max(len(shards), 1) * cfg.term_buckets, "bucket", "shard")
+        .sortWithinPartitions("bucket", "shard", "term", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "shard")
+        .parquet(cat.postings)
+    )
+
+    # (4) term_stats patch: df' = df + (new - old) over affected buckets
+    new_stats = (
+        spark.read.parquet(cat.postings)
+        .filter(f"shard IN ({shard_sql})")
+        .groupBy("bucket", "term")
+        .agg(F.sum("n").alias("df_new"))
+    )
+    delta = (
+        old_stats.join(new_stats, ["bucket", "term"], "full_outer")
+        .select(
+            "bucket",
+            "term",
+            (
+                F.coalesce("df_new", F.lit(0)) - F.coalesce("df_old", F.lit(0))
+            ).alias("d"),
+        )
+        .filter(F.col("d") != 0)
+        .localCheckpoint()
+    )
+    aff_buckets = sorted(
+        int(r["bucket"]) for r in delta.select("bucket").distinct().collect()
+    )
+    if aff_buckets:
+        b_sql = ", ".join(str(b) for b in aff_buckets)
+        stats_new = (
+            spark.read.parquet(cat.term_stats)
+            .filter(f"bucket IN ({b_sql})")
+            .join(delta, ["bucket", "term"], "full_outer")
+            .select(
+                "bucket",
+                "term",
+                (F.coalesce("df", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("df"),
+            )
+            .filter(F.col("df") > 0)
+            .localCheckpoint()
+        )
+        live = {
+            int(r["bucket"])
+            for r in stats_new.select("bucket").distinct().collect()
+        }
+        for b in aff_buckets:  # bucket lost its last term -> drop its dir
+            if b not in live:
+                shutil.rmtree(
+                    os.path.join(cat.term_stats, f"bucket={b}"), ignore_errors=True
+                )
+        if live:
+            (
+                stats_new.repartition("bucket")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(cat.term_stats)
+            )
+    # prune bucket dirs emptied of every shard dir
+    for d in glob.glob(os.path.join(cat.postings, "bucket=*")):
+        if not any(e.startswith("shard=") for e in os.listdir(d)):
+            shutil.rmtree(d, ignore_errors=True)
+
+    # (5) refresh corpus stats
+    n_docs, avgdl = corpus_stats_from_checkpoints(spark, cat)
+    _write_index_meta(cat, cfg, n_docs, avgdl, n_shards, run_id)
+    _append_metrics(
+        cat,
+        [{"run_id": run_id, "stage": "postings_incr", "part": -1,
+          "docs": len(changed_ids), "secs": time.time() - t0}],
+    )
+    return shards
 
 
 _DOC_COLS = [
     "part", "doc_id", "url", "lang", "h1", "h2",
-    "doc_len", "simhash", "terms", "tfs", "pos_blob", "pos_offs",
+    "doc_len", "simhash", "instance", "data_sh", "segs",
+    "terms", "tfs", "pos_blob", "pos_offs",
 ]
 
 
@@ -646,6 +1002,9 @@ def _merge_parts(
                 "secs": 0.0,
             }
     _compact_checkpoints(cat, ckpt)
+    # maintain the derived similarity tables for the same partitions
+    if cat.exists("units") or cat.exists("simprints"):
+        build_derived(spark, cat, parts=parts)
     _append_metrics(
         cat,
         [{"run_id": run_id, "stage": stage, "part": p, "docs": 0, "secs": 0.0}
@@ -661,19 +1020,23 @@ def upsert_docs(
     n_shards: int | None = None,
     run_id: str = "upsert",
     rebuild_postings: bool = True,
+    incremental: bool = True,
 ) -> list[int]:
     """Upsert a delta batch (url-keyed): replaces existing docs with the
-    same url, inserts new ones, touches ONLY the affected partitions, then
-    rebuilds the derived postings.  Returns the affected part list."""
+    same url, inserts new ones, touches ONLY the affected url-part dirs
+    (docs, units, simprints) and the affected doc-hash shards (postings) —
+    work scales with the delta + its shards, never the corpus.  Set
+    ``incremental=False`` to force a full stage-B rebuild instead.
+    Returns the affected part list."""
     cat = IndexCatalog(index_dir)
     ckpt, n_parts = _require_ckpt_parts(spark, cat)
     h1, h2 = _row_hash_cols()
     delta = _normalize_input(pages).withColumn(
         "part", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
-    parts = sorted(
-        int(r["part"]) for r in delta.select("part").distinct().collect()
-    )
+    key_rows = delta.select("part", "doc_id").distinct().collect()
+    parts = sorted({int(r["part"]) for r in key_rows})
+    changed_ids = sorted({int(r["doc_id"]) for r in key_rows})
     enc = delta.repartition(max(len(parts), 1), "part").withColumn(
         "tt", tok_tf_simhash_udf("text")
     )
@@ -681,6 +1044,9 @@ def upsert_docs(
         "part", "doc_id", "url", "lang", h1, h2,
         F.col("tt.doc_len").alias("doc_len"),
         F.col("tt.simhash").alias("simhash"),
+        instance_expr("text").alias("instance"),
+        F.col("tt.data_sh").alias("data_sh"),
+        F.col("tt.segs").alias("segs"),
         F.col("tt.terms").alias("terms"),
         F.col("tt.tfs").alias("tfs"),
         F.col("tt.pos_blob").alias("pos_blob"),
@@ -697,8 +1063,11 @@ def upsert_docs(
         parts, ckpt, n_parts, run_id, "upsert",
     )
     if rebuild_postings:
-        meta = cat.read_meta()
-        build_postings(spark, cat, cfg, n_shards or int(meta["n_shards"]), run_id)
+        if incremental:
+            update_postings_incremental(spark, cat, cfg, changed_ids, parts, run_id)
+        else:
+            meta = cat.read_meta()
+            build_postings(spark, cat, cfg, n_shards or int(meta["n_shards"]), run_id)
     return parts
 
 
@@ -710,15 +1079,25 @@ def delete_docs(
     n_shards: int | None = None,
     run_id: str = "delete",
     rebuild_postings: bool = True,
+    incremental: bool = True,
 ) -> list[int]:
-    """Delete documents by url from the affected partitions, then rebuild
-    the derived postings.  Returns the affected part list."""
+    """Delete documents by url from the affected partitions, maintaining
+    postings/units/simprints incrementally (see upsert_docs).  Returns the
+    affected part list."""
     cat = IndexCatalog(index_dir)
     ckpt, n_parts = _require_ckpt_parts(spark, cat)
     dead = spark.createDataFrame([(u,) for u in urls], "url string").withColumn(
         "part", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
     parts = sorted(int(r["part"]) for r in dead.select("part").distinct().collect())
+    affected = (
+        spark.read.parquet(cat.docs)
+        .filter(F.col("part").isin(parts))
+        .join(dead.select("url"), "url", "left_semi")
+        .select("doc_id")
+        .collect()
+    )
+    changed_ids = sorted({int(r["doc_id"]) for r in affected})
     kept = (
         spark.read.parquet(cat.docs)
         .filter(F.col("part").isin(parts))
@@ -727,8 +1106,11 @@ def delete_docs(
     )
     _merge_parts(spark, cat, kept, parts, ckpt, n_parts, run_id, "delete")
     if rebuild_postings:
-        meta = cat.read_meta()
-        build_postings(spark, cat, cfg, n_shards or int(meta["n_shards"]), run_id)
+        if incremental:
+            update_postings_incremental(spark, cat, cfg, changed_ids, parts, run_id)
+        else:
+            meta = cat.read_meta()
+            build_postings(spark, cat, cfg, n_shards or int(meta["n_shards"]), run_id)
     return parts
 
 
@@ -742,12 +1124,22 @@ def build_index(
     group_size: int = 8,
     resume: bool = True,
     run_id: str = "run",
+    derived: bool = True,
 ) -> BuildResult:
-    """Full build: stage A (resumable) + stage B (derived)."""
+    """Full build: stage A (resumable) + stage B (postings) + stage C
+    (persisted similarity tables; ``derived=False`` skips stage C for a
+    postings-only build)."""
     t0 = time.time()
     cat = IndexCatalog(index_dir)
     built, skipped = build_segments(
         spark, pages, cat, cfg, n_parts, group_size, resume, run_id
     )
     res = build_postings(spark, cat, cfg, n_shards, run_id)
+    if derived:
+        # resume fast path: only newly-built parts need their derived
+        # partitions refreshed once the tables exist
+        if skipped and cat.exists("units"):
+            build_derived(spark, cat, parts=built)
+        else:
+            build_derived(spark, cat)
     return BuildResult(res.n_docs, res.avgdl, built, skipped, time.time() - t0)

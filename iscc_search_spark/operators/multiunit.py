@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from iscc_search_spark.functions.hashing import instance_expr as _instance_expr
 from iscc_search_spark.functions.simhash import hamming_expr, simhash_udf
 from iscc_search_spark.functions.textnorm import tokens_expr
 from iscc_search_spark.operators.dedup import _shingles_expr
@@ -47,15 +48,6 @@ from iscc_search_spark.operators.simprints import band_widths
 MATCH_THRESHOLD = 0.75  # per-unit confidence floor (reference default)
 CONF_EXPONENT = 4       # score^4 weighting (reference default)
 _MAX_HAMMING = 16       # 1 - 16/64 == 0.75 exactly (dyadic)
-
-
-def _instance_expr(text_col: str) -> Column:
-    """Exact 64-bit content hash: first 16 hex chars of md5 as signed int64
-    (two 32-bit halves — a single 16-hex conv would overflow the cast)."""
-    md5 = F.md5(F.col(text_col))
-    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
-    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
 def asset_units(
@@ -97,15 +89,20 @@ def asset_units(
 
 def _band_pred(col: str, qval: int, n_bands: int) -> Column:
     """OR of per-band key equalities — implies hamming <= n_bands - 1 by
-    pigeonhole, evaluated as one codegen'd scan filter."""
+    pigeonhole, evaluated as one codegen'd scan filter.  A full-width band
+    (n_bands=1, i.e. max_hamming=0) degrades to plain equality — the 64-bit
+    mask literal would overflow LongType."""
     uq = qval & (2**64 - 1)
     pred = None
     for shift, w in band_widths(n_bands):
-        mask = (1 << w) - 1
-        p = (
-            F.shiftrightunsigned(F.col(col), shift).bitwiseAND(F.lit(mask))
-            == F.lit((uq >> shift) & mask)
-        )
+        if w >= 64:
+            p = F.col(col) == F.lit(int(qval))
+        else:
+            mask = (1 << w) - 1
+            p = (
+                F.shiftrightunsigned(F.col(col), shift).bitwiseAND(F.lit(mask))
+                == F.lit((uq >> shift) & mask)
+            )
         pred = p if pred is None else (pred | p)
     return pred
 
@@ -139,10 +136,17 @@ def nphd_topk(
     hi_col: str = "hi",
     lo_col: str = "lo",
     bits_col: str = "bits",
+    max_nphd: float | None = None,
 ) -> DataFrame:
     """(rank, doc_id, nphd, score) nearest units to the query doc's unit by
     NPHD over a MIXED-length unit table (self-excluded; score = 1 - nphd,
-    the reference's similarity, usearch/index.py:2040-2045)."""
+    the reference's similarity, usearch/index.py:2040-2045).
+
+    ``max_nphd`` enables the lossless banded candidate prune: for a row of
+    prefix length m, nphd <= t implies prefix hamming <= floor(t*m), so a
+    (floor(t*m)+1)-band pigeonhole filter over the prefix admits every
+    qualifying row — one codegen'd scan filter instead of scoring the whole
+    table.  ``max_nphd=None`` keeps the unbounded full scan-and-sort."""
     spark = units.sparkSession
     q = units.filter(F.col("doc_id") == query_doc_id).collect()
     empty = spark.createDataFrame(
@@ -154,9 +158,22 @@ def nphd_topk(
     q_lo = int(q[0][lo_col]) if q[0][lo_col] is not None else 0
     q_bits = int(q[0][bits_col])
     d = nphd_expr(F.col(hi_col), F.col(lo_col), F.col(bits_col), q_hi, q_lo, q_bits)
-    scored = units.filter(F.col("doc_id") != query_doc_id).select(
+    cand = units.filter(F.col("doc_id") != query_doc_id)
+    if max_nphd is not None:
+        pred = None
+        for width in (64, 128):
+            m = min(width, q_bits)
+            nb = int(max_nphd * m) + 1
+            p = (F.col(bits_col) == width) & _band_pred_wide(
+                [hi_col, lo_col], [q_hi, q_lo], m, nb
+            )
+            pred = p if pred is None else (pred | p)
+        cand = cand.filter(pred)
+    scored = cand.select(
         "doc_id", d.alias("nphd"), (F.lit(1.0) - d).alias("score")
     )
+    if max_nphd is not None:
+        scored = scored.filter(F.col("nphd") <= F.lit(max_nphd))
     topk = scored.orderBy(F.asc("nphd"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.asc("nphd"), F.asc("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
@@ -165,18 +182,154 @@ def nphd_topk(
 
 
 def mixed_length_units(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    units: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, hi, lo, bits) variable-length unit table: even doc_ids get
     128-bit units (content||data simhash), odd keep 64-bit (content) —
-    the deterministic mixed-length fixture for NPHD parity."""
-    u = asset_units(docs, text_col, id_col)
+    the deterministic mixed-length fixture for NPHD parity.  Pass ``units``
+    (e.g. the PERSISTED build artifact, operators/build.py:load_units) to
+    derive the fixture without touching raw text."""
+    u = units if units is not None else asset_units(docs, text_col, id_col)
     is128 = F.pmod(F.col("doc_id"), F.lit(2)) == 0
     return u.select(
         "doc_id",
         F.col("content_sh").alias("hi"),
         F.when(is128, F.col("data_sh")).alias("lo"),
         F.when(is128, F.lit(128)).otherwise(F.lit(64)).alias("bits"),
+    )
+
+
+# --- WIDE variable-length units (64/128/192/256 bit) --------------------------
+# The reference's unit bodies span 64..256 bits (iscc_search/models.py:
+# 225-316, incl. WIDE decomposition); materialized here as up to four
+# 64-bit limb columns (u0..u3, high limb first) + a bits column.  NPHD
+# compares the common prefix and normalizes by its length.
+
+
+def wide_length_units(units: DataFrame) -> DataFrame:
+    """(doc_id, u0, u1, u2, u3, bits) — the deterministic 4-width fixture:
+    doc_id % 4 == 0 -> 256 bit, 1 -> 64, 2 -> 128, 3 -> 192.  Limbs are the
+    persisted unit values (content, data, instance, content^data)."""
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    bits = (
+        F.when(m == 0, F.lit(256))
+        .when(m == 1, F.lit(64))
+        .when(m == 2, F.lit(128))
+        .otherwise(F.lit(192))
+    )
+    return units.select(
+        "doc_id",
+        F.col("content_sh").alias("u0"),
+        F.when(bits >= 128, F.col("data_sh")).alias("u1"),
+        F.when(bits >= 192, F.col("instance")).alias("u2"),
+        F.when(
+            bits >= 256, F.col("content_sh").bitwiseXOR(F.col("data_sh"))
+        ).alias("u3"),
+        bits.alias("bits"),
+    )
+
+
+def nphd_expr_wide(
+    limbs: list[Column], bits: Column, q_limbs: list[int], q_bits: int
+) -> Column:
+    """NPHD over up to 4 64-bit limbs: popcount(xor) over the common
+    min(bits, q_bits)-bit prefix, normalized by the prefix length.  All
+    values are dyadic rationals (k/64..k/256) — exact in float64."""
+    min_bits = F.least(bits, F.lit(q_bits))
+    acc = None
+    out = None
+    for i, (c, q) in enumerate(zip(limbs, q_limbs)):
+        h = F.bit_count(F.coalesce(c, F.lit(0)).bitwiseXOR(F.lit(q)))
+        acc = h if acc is None else (acc + h)
+        width = 64 * (i + 1)
+        branch = acc.cast("double") / F.lit(float(width))
+        cond = min_bits == F.lit(width)
+        out = F.when(cond, branch) if out is None else out.when(cond, branch)
+    return out
+
+
+def _band_pred_wide(
+    limb_cols: list[str], q_limbs: list[int], m_bits: int, n_bands: int
+) -> Column:
+    """Pigeonhole OR-filter over an m_bits-long multi-limb prefix: the
+    n_bands are distributed across whole limbs (each band lies inside one
+    limb), partitioning all m_bits — a pair within hamming < n_bands shares
+    at least one exact band (exact recall).  One codegen'd scan filter."""
+    n_limbs = m_bits // 64
+    base, extra = divmod(n_bands, n_limbs)
+    pred = None
+    for j in range(n_limbs):
+        nb_j = base + (1 if j < extra else 0)
+        if nb_j == 0:
+            continue
+        uq = q_limbs[j] & (2**64 - 1)
+        col = F.coalesce(F.col(limb_cols[j]), F.lit(0))
+        for shift, w in band_widths(nb_j):
+            if w >= 64:  # full-width band -> plain equality (mask overflow)
+                p = col == F.lit(int(q_limbs[j]))
+            else:
+                mask = (1 << w) - 1
+                p = (
+                    F.shiftrightunsigned(col, shift).bitwiseAND(F.lit(mask))
+                    == F.lit((uq >> shift) & mask)
+                )
+            pred = p if pred is None else (pred | p)
+    return pred
+
+
+def nphd_topk_wide(
+    units: DataFrame,
+    query_doc_id: int,
+    k: int = 10,
+    max_nphd: float | None = None,
+) -> DataFrame:
+    """(rank, doc_id, nphd, score) nearest units by NPHD over a 4-width
+    unit table (64/128/192/256 bit; self-excluded).
+
+    ``max_nphd`` bounds the search and enables the CANDIDATE PRUNE: for a
+    row of prefix length m, nphd <= t implies prefix hamming <= floor(t*m),
+    so a per-width banded pigeonhole filter (floor(t*m)+1 bands over the
+    m-bit prefix) admits every qualifying row — the prune is lossless and
+    runs as one codegen'd scan filter, replacing the full scan-and-sort
+    (the reference bounds this with HNSW shards; usearch/index.py:92-101).
+    ``max_nphd=None`` falls back to the unbounded full scan.
+    """
+    spark = units.sparkSession
+    limb_cols = ["u0", "u1", "u2", "u3"]
+    q = units.filter(F.col("doc_id") == query_doc_id).collect()
+    empty = spark.createDataFrame(
+        [], "rank long, doc_id long, nphd double, score double"
+    )
+    if not q:
+        return empty
+    q_limbs = [int(q[0][c]) if q[0][c] is not None else 0 for c in limb_cols]
+    q_bits = int(q[0]["bits"])
+    d = nphd_expr_wide(
+        [F.col(c) for c in limb_cols], F.col("bits"), q_limbs, q_bits
+    )
+    cand = units.filter(F.col("doc_id") != query_doc_id)
+    if max_nphd is not None:
+        pred = None
+        for width in (64, 128, 192, 256):
+            m = min(width, q_bits)
+            nb = int(max_nphd * m) + 1
+            p = (F.col("bits") == width) & _band_pred_wide(
+                limb_cols, q_limbs, m, nb
+            )
+            pred = p if pred is None else (pred | p)
+        cand = cand.filter(pred)
+    scored = cand.select(
+        "doc_id", d.alias("nphd"), (F.lit(1.0) - d).alias("score")
+    )
+    if max_nphd is not None:
+        scored = scored.filter(F.col("nphd") <= F.lit(max_nphd))
+    topk = scored.orderBy(F.asc("nphd"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.asc("nphd"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "nphd", "score"
     )
 
 
@@ -214,7 +367,7 @@ def unit_prefix_scan(
 
 
 def search_assets_multiunit(
-    docs: DataFrame,
+    docs: DataFrame | None,
     query_doc_id: int,
     k: int = 10,
     text_col: str = "text",
@@ -222,10 +375,14 @@ def search_assets_multiunit(
     units: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score, n_units) top-k assets by confidence-weighted
-    multi-unit match against the query document's units (self-excluded)."""
-    spark = docs.sparkSession
+    multi-unit match against the query document's units (self-excluded).
+
+    Pass ``units`` (the persisted build artifact, load_units) for the
+    serving path — computing them from ``docs`` per query is the cold-start
+    fallback only."""
     if units is None:
         units = asset_units(docs, text_col, id_col)
+    spark = units.sparkSession
     qrow = units.filter(F.col("doc_id") == query_doc_id).collect()
     empty = spark.createDataFrame(
         [], "rank long, doc_id long, score double, n_units long"

@@ -23,7 +23,13 @@ from iscc_search_spark.functions.simhash import hamming_expr, neardup_score_expr
 def simhash_bands(
     docs: DataFrame, simhash_col: str = "simhash", n_bands: int = 8
 ) -> DataFrame:
-    """(doc_id, band, key): the simhash split into n_bands bit-slices."""
+    """(doc_id, band, key): the simhash split into n_bands bit-slices.
+    n_bands=1 (max_hamming=0) degrades to equality on the hash itself —
+    a 64-bit mask literal would overflow LongType."""
+    if n_bands == 1:
+        return docs.select(
+            "doc_id", F.lit(0).alias("band"), F.col(simhash_col).alias("key")
+        )
     width = 64 // n_bands
     mask = (1 << width) - 1
     out = []

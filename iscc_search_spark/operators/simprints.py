@@ -46,34 +46,9 @@ from iscc_search_spark.functions.simhash import (
     neardup_score_expr,
     simhash_batch,
 )
+from iscc_search_spark.functions.textnorm import SEG_TOKENS, token_spans_py
 
-SEG_TOKENS = 32
-
-
-def _token_spans(text: str) -> tuple[list[str], list[tuple[int, int]]]:
-    """(tokens, [(byte_start, byte_end)]) over the canonical text (NFC +
-    lowercase); maximal [0-9a-z]+ runs — identical token sequence to
-    tokenize_py (both are the non-empty maximal runs between separators)."""
-    import re
-    import unicodedata
-
-    norm = unicodedata.normalize("NFC", text).lower()
-    toks, spans = [], []
-    ascii_only = norm.isascii()
-    if not ascii_only:
-        import numpy as np
-
-        o = np.fromiter(map(ord, norm), dtype=np.int64, count=len(norm))
-        blen = 1 + (o > 0x7F).astype(np.int64) + (o > 0x7FF) + (o > 0xFFFF)
-        cum = np.zeros(len(norm) + 1, dtype=np.int64)
-        np.cumsum(blen, out=cum[1:])
-    for m in re.finditer(r"[0-9a-z]+", norm):
-        toks.append(m.group())
-        if ascii_only:
-            spans.append((m.start(), m.end()))
-        else:
-            spans.append((int(cum[m.start()]), int(cum[m.end()])))
-    return toks, spans
+_token_spans = token_spans_py  # query-side tokenizer (shared with stage A)
 
 
 def segment_simhashes_py(
@@ -163,7 +138,7 @@ def band_widths(n_bands: int, bits: int = 64) -> list[tuple[int, int]]:
 
 
 def granular_topk(
-    docs: DataFrame,
+    docs: DataFrame | None,
     query_text: str,
     k: int = 10,
     max_hamming: int = 8,
@@ -173,8 +148,14 @@ def granular_topk(
 ) -> DataFrame:
     """(rank, doc_id, score, n_matched_segs) top-k docs containing segments
     similar to the query's segments — banded-LSH candidate join, exact
-    recall for n_bands > max_hamming (default: max_hamming + 1 bands)."""
-    spark = docs.sparkSession
+    recall for n_bands > max_hamming (default: max_hamming + 1 bands).
+
+    Pass ``simprints`` (the persisted build artifact,
+    operators/build.py:load_simprints) for the serving path — segmenting
+    raw ``docs`` per query is the cold-start fallback only."""
+    if simprints is None:
+        simprints = simprints_table(docs, seg_tokens=seg_tokens)
+    spark = simprints.sparkSession
     n_bands = n_bands if n_bands is not None else max_hamming + 1
     if max_hamming >= n_bands:
         raise ValueError(
@@ -188,29 +169,35 @@ def granular_topk(
     if not qsegs:
         return empty
     n_q = len(qsegs)
-    if simprints is None:
-        simprints = simprints_table(docs, seg_tokens=seg_tokens)
 
     widths = band_widths(n_bands)
-    # query side: (band, key, q_seg, q_sim) literals — tiny, broadcast
+    # query side: (band, key, q_seg, q_sim) literals — tiny, broadcast.
+    # A full-width band (n_bands=1 <=> max_hamming=0) uses the SIGNED hash
+    # itself as the key — a 64-bit mask literal would overflow LongType.
     q_rows = []
     for s, _, _, _, h in qsegs:
         uh = h & ((1 << 64) - 1)
         for b, (shift, w) in enumerate(widths):
-            q_rows.append((b, (uh >> shift) & ((1 << w) - 1), s, h))
+            key = h if w >= 64 else (uh >> shift) & ((1 << w) - 1)
+            q_rows.append((b, key, s, h))
     q = spark.createDataFrame(q_rows, "band int, key long, q_seg int, q_sim long")
 
     # index side: one (band, key) row per band per segment, JVM bit-slicing
     bands = None
     for b, (shift, w) in enumerate(widths):
+        key_expr = (
+            F.col("simhash")
+            if w >= 64
+            else F.shiftrightunsigned("simhash", shift).bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
+        )
         x = simprints.select(
             "doc_id",
             "seg_idx",
             "simhash",
             F.lit(b).alias("band"),
-            F.shiftrightunsigned("simhash", shift)
-            .bitwiseAND(F.lit((1 << w) - 1))
-            .alias("key"),
+            key_expr.alias("key"),
         )
         bands = x if bands is None else bands.unionByName(x)
 

@@ -77,22 +77,42 @@ def decode_block_positions(pos_buf: bytes, tfs: np.ndarray) -> np.ndarray:
 
 
 class IndexReader:
-    """Immutable open-index handle: meta + driver-cached term stats + a
-    reused blocks relation (one parquet listing per open, not per query)."""
+    """Open-index handle: meta + driver-cached term stats + a reused blocks
+    relation (one parquet listing per open, not per query).
+
+    upsert_docs/delete_docs rewrite postings/term_stats/meta in place; a
+    long-lived reader detects this via the meta.json mtime (one os.stat per
+    query — the version check every query entry point calls) and reloads
+    its caches, so serving processes never score with stale df/avgdl or
+    vanished part-files."""
 
     def __init__(self, spark: SparkSession, index_dir: str, cache_stats: bool = True):
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
+        self._cache_stats = cache_stats
+        self._open()
+
+    def _open(self) -> None:
+        import os
+
+        self._meta_mtime = os.stat(self.cat.meta_path).st_mtime_ns
         self.meta = self.cat.read_meta()
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
         self.k1 = float(self.meta["bm25"]["k1"])
         self.b = float(self.meta["bm25"]["b"])
         self.n_buckets = int(self.meta["term_buckets"])
-        self.blocks = spark.read.parquet(self.cat.postings)
+        self.blocks = self.spark.read.parquet(self.cat.postings)
         self._stats: dict[str, int] | None = None
-        if cache_stats:
+        if self._cache_stats:
             self._load_stats()
+
+    def ensure_fresh(self) -> None:
+        """Reload caches if the index was updated since open (cheap stat)."""
+        import os
+
+        if os.stat(self.cat.meta_path).st_mtime_ns != self._meta_mtime:
+            self._open()
 
     def _load_stats(self) -> None:
         import pyarrow.dataset as ds
@@ -149,18 +169,27 @@ def _as_reader(spark: SparkSession, index: str | IndexReader) -> IndexReader:
 def _decode_term_blocks(
     g: pd.DataFrame, k1: float, b: float, avgdl: float
 ) -> list[tuple[float, np.ndarray, np.ndarray]]:
-    """One term's blocks -> [(block_max, doc_ids, tfnorm)]."""
+    """One term's blocks -> [(block_max, doc_ids, tfnorm)].
+
+    The block upper bound is computed HERE from the stored (max_tf, min_dl)
+    metadata under the CURRENT corpus avgdl: tfnorm is increasing in tf and
+    decreasing in dl, so tfnorm(max_tf, min_dl) dominates every posting in
+    the block for any avgdl — which is what keeps incremental upserts (that
+    shift avgdl) from invalidating untouched blocks."""
     out = []
-    for n, min_doc, doc_buf, tf_buf, dl_buf, bm in zip(
+    for n, min_doc, doc_buf, tf_buf, dl_buf, mtf, mdl in zip(
         g["n"], g["min_doc"], g["doc_ids"], g["tfs"], g["dls"],
-        g["block_max_tfnorm"].to_numpy(),
+        g["max_tf"].to_numpy(), g["min_dl"].to_numpy(),
     ):
         n = int(n)
         d = decode_block_ids(int(min_doc), n, doc_buf)
         tf = codec.for_unpack(tf_buf, n).view(np.int64).astype(np.float64)
         dl = codec.for_unpack(dl_buf, n).view(np.int64).astype(np.float64)
         tfnorm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        out.append((float(bm), d, tfnorm))
+        bm = (float(mtf) * (k1 + 1.0)) / (
+            float(mtf) + k1 * (1.0 - b + b * float(mdl) / avgdl)
+        )
+        out.append((bm, d, tfnorm))
     return out
 
 
@@ -224,7 +253,9 @@ def _shard_scorer(idf: dict[str, float], k1: float, b: float, avgdl: float, k: i
 # a single query whose terms together touch at most this many postings is
 # answered driver-side (pyarrow row-group-pruned read + the same numpy
 # scorer) — the serving fast path, mirroring the reference's single-node
-# LMDB reads; bigger candidate sets take the distributed path
+# LMDB reads; bigger candidate sets fall back to the distributed path
+# (enforced below: a Zipf head-term query must not materialize its blocks
+# on the driver)
 _LOCAL_POSTINGS_CAP = 5_000_000
 
 
@@ -236,8 +267,11 @@ def bm25_wand_topk_local(
     Bit-identical to the distributed scorer: per-doc accumulation runs in
     the same ascending-term order (sharding only partitions docs; each
     doc's sum is unchanged), block-max pruning uses the same exact bound.
+    Queries whose candidate postings exceed _LOCAL_POSTINGS_CAP fall back
+    to the distributed scorer (same result, executor-side memory).
     """
     r = index
+    r.ensure_fresh()
     empty = pd.DataFrame(
         {
             "rank": pd.Series([], dtype="int64"),
@@ -251,6 +285,8 @@ def bm25_wand_topk_local(
     term_df = r.term_dfs(terms)
     if not term_df:
         return empty
+    if sum(term_df.values()) > _LOCAL_POSTINGS_CAP:
+        return bm25_wand_topk(r.spark, r, query, k).toPandas()
     idf = r.idf(term_df)
 
     import pyarrow.dataset as ds
@@ -259,7 +295,7 @@ def bm25_wand_topk_local(
     d = ds.dataset(r.cat.postings, format="parquet", partitioning="hive")
     flt = ds.field("bucket").isin(buckets) & ds.field("term").isin(list(term_df))
     pdf = d.to_table(
-        columns=["term", "n", "min_doc", "doc_ids", "tfs", "dls", "block_max_tfnorm"],
+        columns=["term", "n", "min_doc", "doc_ids", "tfs", "dls", "max_tf", "min_dl"],
         filter=flt,
     ).to_pandas()
     if len(pdf) == 0:
@@ -283,6 +319,7 @@ def bm25_wand_topk(
     """(rank, doc_id, score) top-k; pass an IndexReader to amortize the
     index open (meta + stats cache + file listing) across queries."""
     r = _as_reader(spark, index)
+    r.ensure_fresh()
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     terms = sorted(set(tokenize_py(query)))
     if not terms or r.n_docs == 0:
@@ -404,6 +441,7 @@ def bm25_wand_topk_batch(
     small shuffle on query_id.
     """
     r = _as_reader(spark, index)
+    r.ensure_fresh()
     empty = spark.createDataFrame(
         [], "query_id long, rank long, doc_id long, score double"
     )

@@ -77,6 +77,39 @@ class SearchIndex:
         docs = self.spark.read.parquet(self.cat.docs).select("doc_id", "simhash")
         return simhash_neardup_pairs(docs, max_hamming=max_hamming)
 
+    # --- similarity family: served from the PERSISTED build artifacts --------
+    # (units/simprints are stage-C tables; no per-query corpus recompute —
+    # the reference's one-derived-index-per-type model,
+    # iscc_search/indexes/usearch/index.py:1602-1648)
+
+    def units(self) -> DataFrame:
+        from iscc_search_spark.operators.build import load_units
+
+        return load_units(self.spark, self.cat.root)
+
+    def simprints(self) -> DataFrame:
+        from iscc_search_spark.operators.build import load_simprints
+
+        return load_simprints(self.spark, self.cat.root)
+
+    def search_similar(self, doc_id: int, k: int = 10) -> DataFrame:
+        """Multi-unit ISCC search (confidence-weighted Σs⁴/Σs) from the
+        persisted units table."""
+        from iscc_search_spark.operators.multiunit import search_assets_multiunit
+
+        return search_assets_multiunit(None, doc_id, k=k, units=self.units())
+
+    def search_granular(
+        self, query_text: str, k: int = 10, max_hamming: int = 8
+    ) -> DataFrame:
+        """Chunk-level simprint search from the persisted simprints table."""
+        from iscc_search_spark.operators.simprints import granular_topk
+
+        return granular_topk(
+            None, query_text, k=k, max_hamming=max_hamming,
+            simprints=self.simprints(),
+        )
+
     # --- DDL / stats (S8) ----------------------------------------------------
 
     def stats(self) -> dict:
