@@ -152,6 +152,32 @@ def main() -> None:
             ).collect(),
         )
 
+        # granular prune selectivity at the high threshold (max_hamming=12):
+        # combo=2 keys on band PAIRS (exact recall preserved) — the measured
+        # candidate fractions quantify how much scan each scheme saves
+        from iscc_search_spark.entry_queries import GRANULAR_QUERY_TEXT
+        from iscc_search_spark.operators.build import load_simprints
+        from iscc_search_spark.operators.simprints import (
+            granular_candidate_fraction,
+            granular_topk,
+        )
+
+        sp = load_simprints(spark, docs_idx)
+        timed(
+            "a7_granular_combo2_persisted",
+            lambda: granular_topk(
+                None, GRANULAR_QUERY_TEXT, k=10, max_hamming=12,
+                simprints=sp, combo=2,
+            ).collect(),
+        )
+        for c in (1, 2):
+            extra[f"granular_candidate_fraction_combo{c}"] = round(
+                granular_candidate_fraction(
+                    sp, GRANULAR_QUERY_TEXT, max_hamming=12, combo=c
+                ),
+                4,
+            )
+
         # 4) headline operators over the testdata tables
         for name in [
             "t1_bm25_topk_q1",

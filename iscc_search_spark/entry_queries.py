@@ -52,6 +52,17 @@ BM25 = BM25Config()
 K1, B = BM25.k1, BM25.b
 
 # fixed reference queries against the testdata `documents` vocabulary
+# fixed 64-token granular query (2 segments) over the testdata vocabulary —
+# shared by the a7 gate and the bench's candidate-fraction measurement
+GRANULAR_QUERY_TEXT = (
+    "batch dup scan merge window sort query data spark filter "
+    "hash join stream value column row table big small slow fast "
+    "the a key order line part customer vector agg dup batch scan "
+    "merge window sort query data spark filter hash join stream value "
+    "column row table big small slow fast the a key order line part "
+    "customer vector agg dup batch"
+)
+
 Q1 = "batch dup"            # common + rare
 Q2 = "spark query data window sort"  # 5 terms
 Q3 = "dup"                  # single rare term
@@ -812,6 +823,22 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(nphd, 6) AS nphd,
   SELECT doc_id, nphd, row_number() OVER (ORDER BY nphd, doc_id) AS rank FROM d
 ) WHERE rank <= 10"""
 
+    # --- real DATA_V0: content-defined chunking + minhash over raw bytes ----
+    # NO SQL oracle on purpose: the CDC boundary recurrence is inherently
+    # sequential (not expressible in DuckDB), so the driver records this as
+    # rows-only; exactness is pytest-gated against an independent per-byte
+    # reference implementation (tests/test_datacode.py)
+    def fdc(spark, sf):
+        from iscc_search_spark.functions.datacode import data_code_udf
+
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            data_code_udf(F.encode("text", "utf-8")).alias("data_code"),
+        )
+
+    queries["f_data_code_cdc"] = fdc
+
     # --- WIDE (64/128/192/256-bit) NPHD with the banded candidate prune ----
     # fixture widths cycle by doc_id % 4; limbs = (content, data, instance,
     # content^data); query doc 7 -> 192-bit; threshold 0.25 activates the
@@ -869,14 +896,7 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(nphd, 6) AS nphd,
     # fixed 64-token query (2 segments) over the testdata vocabulary; its
     # segment simhashes are computed here in Python and inlined into the
     # oracle SQL as literals (deterministic — no data access at build time)
-    GRANULAR_QUERY = (
-        "batch dup scan merge window sort query data spark filter "
-        "hash join stream value column row table big small slow fast "
-        "the a key order line part customer vector agg dup batch scan "
-        "merge window sort query data spark filter hash join stream value "
-        "column row table big small slow fast the a key order line part "
-        "customer vector agg dup batch"
-    )
+    GRANULAR_QUERY = GRANULAR_QUERY_TEXT
 
     def a7(spark, sf):
         # serves from the PERSISTED simprints table (stage C build artifact)

@@ -78,6 +78,56 @@ def code_simhash_udf(code: pd.Series) -> pd.Series:
     return code.map(code_to_simhash)
 
 
+# --- WIDE units: 128/192/256-bit bodies through the string codec (F3) --------
+# The reference's unit bodies span 64..256 bits (iscc_search/models.py:
+# 225-316).  The length nibble is (bits/32)-1 = 1/3/5/7 — all plain nibble
+# values, so the same 2-byte header covers every width.  Limbs are 64-bit
+# signed ints, HIGH limb first (limb order matches the NPHD prefix order).
+
+
+def limbs_to_code(
+    limbs: list[int], maintype: int = MT_CONTENT, subtype: int = ST_TEXT
+) -> str:
+    """1-4 int64 limbs (high first) -> canonical unit string."""
+    if not 1 <= len(limbs) <= 4:
+        raise ValueError("1..4 limbs supported (64..256 bit)")
+    body = b"".join((v & (2**64 - 1)).to_bytes(8, "big") for v in limbs)
+    return encode_unit(body, maintype, subtype)
+
+
+def code_to_limbs(code: str) -> tuple[int, int, int, list[int], int]:
+    """Unit string -> (maintype, subtype, version, limbs_high_first, bits)."""
+    mt, st, ver, ln, body = decode_unit(code)
+    bits = (ln + 1) * 32
+    if len(body) * 8 != bits or bits % 64:
+        raise ValueError(f"unsupported unit width: {bits} bits")
+    limbs = []
+    for i in range(0, len(body), 8):
+        u = int.from_bytes(body[i : i + 8], "big")
+        limbs.append(u - (1 << 64) if u >= (1 << 63) else u)
+    return mt, st, ver, limbs, bits
+
+
+@F.pandas_udf(T.StringType())
+def wide_code_udf(limbs: pd.Series, bits: pd.Series) -> pd.Series:
+    """(array<long> of exactly 4 ZERO-PADDED limbs high-first, bits) ->
+    canonical WIDE unit string.  The array must be null-free (pad with 0,
+    see wide_code_expr): pandas NaN-boxes nullable int64 into float64,
+    silently corrupting limbs above 2^53."""
+    out = []
+    for arr, n in zip(limbs, bits):
+        out.append(limbs_to_code([int(v) for v in arr[: int(n) // 64]]))
+    return pd.Series(out)
+
+
+def wide_code_expr(u0, u1, u2, u3, bits):
+    """Column helper: builds the null-free limb array for wide_code_udf."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in (u0, u1, u2, u3)]
+    arr = F.array(*[F.coalesce(c, F.lit(0)) for c in cols])
+    b = F.col(bits) if isinstance(bits, str) else bits
+    return wide_code_udf(arr, b)
+
+
 # --- ISCC-CODE <-> units composition (F4) -----------------------------------
 # The composite form: MainType ISCC header + concatenated 64-bit unit bodies
 # (dynamic META/SEMANTIC/CONTENT units first, then the static DATA and

@@ -137,6 +137,98 @@ def band_widths(n_bands: int, bits: int = 64) -> list[tuple[int, int]]:
     return out
 
 
+def _band_combos(n_bands: int, combo: int) -> list[tuple[int, ...]]:
+    from itertools import combinations
+
+    return list(combinations(range(n_bands), combo))
+
+
+def _combo_key_py(h: int, widths, idxs) -> int:
+    if len(idxs) == 1 and widths[idxs[0]][1] >= 64:
+        return h  # full-width band: the SIGNED value (mirrors the expr)
+    uh = h & ((1 << 64) - 1)
+    key = 0
+    for bi in idxs:
+        shift, w = widths[bi]
+        key = (key << w) | ((uh >> shift) & ((1 << w) - 1))
+    return key
+
+
+def _combo_key_expr(col, widths, idxs):
+    key = None
+    for bi in idxs:
+        shift, w = widths[bi]
+        if w >= 64:  # full-width single band -> the value itself
+            return F.col(col) if isinstance(col, str) else col
+        s = F.shiftrightunsigned(col, shift).bitwiseAND(F.lit((1 << w) - 1))
+        key = s if key is None else F.shiftleft(key, w).bitwiseOR(s)
+    return key
+
+
+def _banded_candidates(
+    simprints: DataFrame, qsegs, n_bands: int, combo: int
+) -> DataFrame:
+    """(doc_id, seg_idx, simhash, q_seg, q_sim) candidate pairs sharing at
+    least one ``combo``-band key.
+
+    combo=1 is classic LSH banding (exact recall iff hamming < n_bands);
+    combo=c keys on every c-subset of bands: a pair within hamming h has
+    >= n_bands - h clean bands, so recall is exact iff
+    n_bands - max_hamming >= c while each key carries c bands' bits —
+    exponentially more selective at high thresholds (the multi-piece
+    pigeonhole generalization).  ONE scan of the simprints table: keys are
+    generated by a JVM explode of C(n_bands, combo) struct literals, never
+    a per-combo re-scan; a full-width band (n_bands=1) keys on the SIGNED
+    hash itself (a 64-bit mask literal would overflow LongType)."""
+    spark = simprints.sparkSession
+    widths = band_widths(n_bands)
+    combos = _band_combos(n_bands, combo)
+
+    q_rows = []
+    for s, _, _, _, h in qsegs:
+        for cid, idxs in enumerate(combos):
+            q_rows.append((cid, _combo_key_py(h, widths, idxs), s, h))
+    q = spark.createDataFrame(q_rows, "band int, key long, q_seg int, q_sim long")
+
+    entries = [
+        F.struct(
+            F.lit(cid).alias("band"),
+            _combo_key_expr("simhash", widths, idxs).alias("key"),
+        )
+        for cid, idxs in enumerate(combos)
+    ]
+    bands = simprints.select(
+        "doc_id", "seg_idx", "simhash", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "seg_idx", "simhash", F.col("e.band").alias("band"),
+             F.col("e.key").alias("key"))
+    return bands.join(F.broadcast(q), ["band", "key"])
+
+
+def granular_candidate_fraction(
+    simprints: DataFrame,
+    query_text: str,
+    max_hamming: int = 8,
+    seg_tokens: int = SEG_TOKENS,
+    n_bands: int | None = None,
+    combo: int = 1,
+) -> float:
+    """Measured prune selectivity: distinct candidate (segment, query_seg)
+    pairs admitted by the banded join, as a fraction of the full cross
+    product — the bench's 'how much of a scan did the prune save' metric."""
+    qsegs = segment_simhashes_py(query_text, seg_tokens)
+    if not qsegs:
+        return 0.0
+    n_bands = n_bands if n_bands is not None else max_hamming + combo
+    cand = (
+        _banded_candidates(simprints, qsegs, n_bands, combo)
+        .select("doc_id", "seg_idx", "q_seg")
+        .distinct()
+        .count()
+    )
+    total = simprints.count() * len(qsegs)
+    return cand / total if total else 0.0
+
+
 def granular_topk(
     docs: DataFrame | None,
     query_text: str,
@@ -145,10 +237,15 @@ def granular_topk(
     seg_tokens: int = SEG_TOKENS,
     simprints: DataFrame | None = None,
     n_bands: int | None = None,
+    combo: int = 1,
 ) -> DataFrame:
     """(rank, doc_id, score, n_matched_segs) top-k docs containing segments
     similar to the query's segments — banded-LSH candidate join, exact
-    recall for n_bands > max_hamming (default: max_hamming + 1 bands).
+    recall for n_bands >= max_hamming + combo (default bands: exactly
+    that).  ``combo`` keys on combo-band subsets: combo=2/3 keeps recall
+    exact while pruning far harder at high thresholds (e.g. max_hamming=12:
+    13 single bands admit ~40% of segments, 91 two-band keys ~16%, 455
+    three-band keys ~6%).
 
     Pass ``simprints`` (the persisted build artifact,
     operators/build.py:load_simprints) for the serving path — segmenting
@@ -156,11 +253,11 @@ def granular_topk(
     if simprints is None:
         simprints = simprints_table(docs, seg_tokens=seg_tokens)
     spark = simprints.sparkSession
-    n_bands = n_bands if n_bands is not None else max_hamming + 1
-    if max_hamming >= n_bands:
+    n_bands = n_bands if n_bands is not None else max_hamming + combo
+    if max_hamming > n_bands - combo:
         raise ValueError(
-            f"max_hamming={max_hamming} needs n_bands > max_hamming "
-            f"(got {n_bands}) for exact pigeonhole recall"
+            f"max_hamming={max_hamming} needs n_bands >= max_hamming + combo "
+            f"(got n_bands={n_bands}, combo={combo}) for exact recall"
         )
     qsegs = segment_simhashes_py(query_text, seg_tokens)
     empty = spark.createDataFrame(
@@ -170,39 +267,8 @@ def granular_topk(
         return empty
     n_q = len(qsegs)
 
-    widths = band_widths(n_bands)
-    # query side: (band, key, q_seg, q_sim) literals — tiny, broadcast.
-    # A full-width band (n_bands=1 <=> max_hamming=0) uses the SIGNED hash
-    # itself as the key — a 64-bit mask literal would overflow LongType.
-    q_rows = []
-    for s, _, _, _, h in qsegs:
-        uh = h & ((1 << 64) - 1)
-        for b, (shift, w) in enumerate(widths):
-            key = h if w >= 64 else (uh >> shift) & ((1 << w) - 1)
-            q_rows.append((b, key, s, h))
-    q = spark.createDataFrame(q_rows, "band int, key long, q_seg int, q_sim long")
-
-    # index side: one (band, key) row per band per segment, JVM bit-slicing
-    bands = None
-    for b, (shift, w) in enumerate(widths):
-        key_expr = (
-            F.col("simhash")
-            if w >= 64
-            else F.shiftrightunsigned("simhash", shift).bitwiseAND(
-                F.lit((1 << w) - 1)
-            )
-        )
-        x = simprints.select(
-            "doc_id",
-            "seg_idx",
-            "simhash",
-            F.lit(b).alias("band"),
-            key_expr.alias("key"),
-        )
-        bands = x if bands is None else bands.unionByName(x)
-
     matched = (
-        bands.join(F.broadcast(q), ["band", "key"])
+        _banded_candidates(simprints, qsegs, n_bands, combo)
         .withColumn("h", hamming_expr(F.col("simhash"), F.col("q_sim")))
         .filter(F.col("h") <= max_hamming)
         .select(

@@ -204,6 +204,31 @@ def test_nphd_wide_prune_matches_full_scan(spark, pages_df, built):
     assert "shiftrightunsigned" in plan
 
 
+# --- combinatorial granular prune (exact recall, higher selectivity) -----------
+
+
+def test_granular_combo_prune_matches_single_band(spark, pages_df, built):
+    from iscc_search_spark.operators.simprints import granular_topk
+
+    sp = load_simprints(spark, built).localCheckpoint()
+    txt = pages_df.orderBy("url").first()["text"][:600]
+    want = [
+        (r["doc_id"], r["score"], r["n_matched_segs"])
+        for r in granular_topk(
+            None, txt, k=10, max_hamming=10, simprints=sp, combo=1
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"], r["n_matched_segs"])
+        for r in granular_topk(
+            None, txt, k=10, max_hamming=10, simprints=sp, combo=2
+        ).collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError):  # recall guard: bands must cover h+combo
+        granular_topk(None, txt, max_hamming=12, n_bands=13, simprints=sp, combo=2)
+
+
 # --- degenerate banding configs (max_hamming=0) --------------------------------
 
 

@@ -217,3 +217,52 @@ def test_nphd_mixed_lengths_python_oracle(spark):
             for r in nphd_topk(units, qid, k=10).orderBy("rank").collect()
         ]
         assert got == want[:10], qid
+
+
+def test_wide_unit_codes_roundtrip():
+    """F3: 128/192/256-bit bodies through the string codec (WIDE units,
+    reference models.py:225-316 width range)."""
+    from iscc_search_spark.functions.iscc_codec import code_to_limbs, limbs_to_code
+
+    cases = [
+        [0xF123456789ABCDEF - (1 << 64)],                       # 64 (negative limb)
+        [1, -2],                                                 # 128
+        [-(1 << 62), 7, 0],                                      # 192
+        [2**63 - 1, -(2**63), 0, -1],                            # 256
+    ]
+    for limbs in cases:
+        code = limbs_to_code(limbs)
+        assert code.startswith("ISCC:")
+        mt, st, ver, got, bits = code_to_limbs(code)
+        assert (mt, st, ver) == (2, 0, 0)
+        assert got == limbs and bits == 64 * len(limbs)
+    with pytest.raises(ValueError):
+        limbs_to_code([])
+    with pytest.raises(ValueError):
+        limbs_to_code([0] * 5)
+
+
+def test_wide_code_udf_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from iscc_search_spark.functions.iscc_codec import (
+        code_to_limbs,
+        wide_code_expr,
+    )
+
+    rows = [(1, 10, None, None, None, 64), (2, 11, -5, None, None, 128),
+            (3, 12, 13, 14, None, 192), (4, -1, -(2**63), 2**63 - 1, -4, 256)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, u0 long, u1 long, u2 long, u3 long, bits int"
+    )
+    got = {
+        r["doc_id"]: r["code"]
+        for r in df.select(
+            "doc_id",
+            wide_code_expr("u0", "u1", "u2", "u3", "bits").alias("code"),
+        ).collect()
+    }
+    for doc_id, u0, u1, u2, u3, bits in rows:
+        limbs = [v for v in (u0, u1, u2, u3) if v is not None][: bits // 64]
+        _, _, _, back, b = code_to_limbs(got[doc_id])
+        assert back == limbs and b == bits  # incl. full-range int64 limbs
