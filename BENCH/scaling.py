@@ -84,10 +84,14 @@ def run_leg(cores: int, pages_path: str, work: str) -> dict:
         build_secs = float("inf")
         for _ in range(2):
             t0 = time.time()
+            # derived=False: the north-rule job is the INVERTED-INDEX build
+            # (tokenize -> positions -> compressed block-max postings),
+            # methodology-constant with prior rounds; the stage-C similarity
+            # artifacts are a separate (equally partition-parallel) job
             build_index(
                 spark, pages, idx, cfg=EngineConfig(),
                 n_parts=N_PARTS, n_shards=N_SHARDS, group_size=N_PARTS,
-                resume=False,
+                resume=False, derived=False,
             )
             build_secs = min(build_secs, time.time() - t0)
 

@@ -823,6 +823,50 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(nphd, 6) AS nphd,
   SELECT doc_id, nphd, row_number() OVER (ORDER BY nphd, doc_id) AS rank FROM d
 ) WHERE rank <= 10"""
 
+    # --- F8: IDP gateway URI-template expansion (edge metadata) -------------
+    # deterministic fixture: three template shapes cycled by doc_id; values
+    # derived from doc columns (md5(text) as the datahash stand-in)
+    def f8(spark, sf):
+        from iscc_search_spark.functions.uritemplate import expand_gateway_expr
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                   F.lit("https://gw.test/{iscc_code}?x=1"))
+            .when(F.pmod("doc_id", F.lit(3)) == 1,
+                  F.lit("https://gw.test{/iscc_id}"))
+            .otherwise(F.lit("https://gw.test/obj{.datahash}"))
+            .alias("template"),
+            F.concat(F.lit("ISCC:MAAC"), F.col("doc_id").cast("string")).alias("iid"),
+            F.concat(F.lit("ISCC:KACT"), F.col("doc_id").cast("string")).alias("icode"),
+            F.md5("text").alias("dh"),
+        )
+        return d.select(
+            "doc_id",
+            expand_gateway_expr("template", "iid", "icode", "dh").alias("gateway_url"),
+        )
+
+    queries["f8_uri_template_expansion"] = f8
+    oracles["f8_uri_template_expansion"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'https://gw.test/{iscc_code}?x=1'
+           WHEN 1 THEN 'https://gw.test{/iscc_id}'
+           ELSE 'https://gw.test/obj{.datahash}' END AS template,
+         lower('MAAC' || CAST(doc_id AS VARCHAR)) AS iid,
+         lower('KACT' || CAST(doc_id AS VARCHAR)) AS icode,
+         md5(text) AS dh
+  FROM documents)
+SELECT doc_id,
+  replace(replace(replace(replace(replace(replace(replace(replace(replace(
+    template,
+    '{iscc_id}', iid), '{/iscc_id}', '/' || iid), '{.iscc_id}', '.' || iid),
+    '{iscc_code}', icode), '{/iscc_code}', '/' || icode), '{.iscc_code}', '.' || icode),
+    '{datahash}', dh), '{/datahash}', '/' || dh), '{.datahash}', '.' || dh)
+  AS gateway_url
+FROM d"""
+
     # --- real DATA_V0: content-defined chunking + minhash over raw bytes ----
     # NO SQL oracle on purpose: the CDC boundary recurrence is inherently
     # sequential (not expressible in DuckDB), so the driver records this as

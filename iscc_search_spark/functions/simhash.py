@@ -57,10 +57,43 @@ def _pack_bits(bits_bool: np.ndarray) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+def _hash_terms_flat(
+    sub_terms: list[np.ndarray], total: int, use_cache: bool
+) -> np.ndarray:
+    """uint64 md5-hash per flat term.  The flat batch is FACTORIZED first
+    so md5 runs once per unique string — cross-doc term overlap makes this
+    the dominant win (measured 3x on the shingle path, where the
+    process-lifetime cache is useless AND an unbounded memory leak:
+    shingles are mostly batch-unique, so ``use_cache=False`` skips the
+    dict entirely)."""
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for tl in sub_terms:
+        flat[pos : pos + len(tl)] = tl
+        pos += len(tl)
+    codes, uniq = pd.factorize(flat)
+    if use_cache:
+        hashed = np.fromiter(
+            (term_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+        )
+    else:
+        md5 = hashlib.md5
+        hashed = np.fromiter(
+            (
+                int.from_bytes(md5(t.encode("utf-8")).digest()[:8], "big")
+                for t in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+    return hashed[codes]
+
+
 def simhash_batch(
     term_lists: list[np.ndarray],
     tf_lists: list[np.ndarray],
     chunk_docs: int = 256,
+    use_cache: bool = True,
 ) -> np.ndarray:
     """Vectorized simhash for a batch of docs -> int64 array.
 
@@ -68,6 +101,8 @@ def simhash_batch(
     ~10 MB regardless of Arrow batch size — an unchunked 10k-doc batch
     allocated ~1 GB per Python worker, which collapsed under 32 concurrent
     workers (measured: stage A 2.4x SLOWER at local[32] than local[8]).
+    ``use_cache=False`` for feature sets that are mostly batch-unique
+    (shingles): the global term cache would grow without bound.
     """
     n = len(term_lists)
     out = np.zeros(n, dtype=np.int64)
@@ -80,14 +115,7 @@ def simhash_batch(
         total = int(counts.sum())
         if total == 0:
             continue
-        # hash each (already per-doc-unique) term via the process cache,
-        # then dedupe on the uint64 hashes (C-speed; object-array unique
-        # on strings is the slow path)
-        flat_hash = np.fromiter(
-            (term_hash64(t) for tl in sub_terms for t in tl),
-            dtype=np.uint64,
-            count=total,
-        )
+        flat_hash = _hash_terms_flat(sub_terms, total, use_cache)
         flat_tfs = np.concatenate(
             [np.asarray(t, dtype=np.int64) for t in sub_tfs]
         ).astype(np.float32)
@@ -114,6 +142,50 @@ def simhash_batch(
         )
         nonempty = counts > 0
         out[start:end][nonempty] = packed.view(np.int64)[nonempty]
+    return out
+
+
+def simhash_unweighted_batch(
+    term_lists: list[np.ndarray], chunk_docs: int = 256
+) -> np.ndarray:
+    """simhash for per-doc DISTINCT feature sets (tf=1 each) -> int64.
+
+    Identical result to simhash_batch with all-ones tfs, but skips the
+    dense (docs x uniq) tf matrix + BLAS matmul: with tf=1 the bit sums
+    are a direct np.add.reduceat over the flat hash-bit matrix.  Built for
+    the shingle DATA unit, whose features are mostly batch-unique (the
+    matrix path allocated ~m*U floats for a one-hot matrix)."""
+    n = len(term_lists)
+    out = np.zeros(n, dtype=np.int64)
+    md5 = hashlib.md5
+    for start in range(0, n, chunk_docs):
+        end = min(start + chunk_docs, n)
+        sub = term_lists[start:end]
+        counts = np.array([len(t) for t in sub], dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        flat = np.fromiter(
+            (
+                int.from_bytes(md5(t.encode("utf-8")).digest()[:8], "big")
+                for tl in sub
+                for t in tl
+            ),
+            dtype=np.uint64,
+            count=total,
+        )
+        # int16 halves the bit-matrix footprint; per-doc feature counts are
+        # token-bounded (<< 32767) so the reduceat sums cannot overflow
+        bits = ((flat[:, None] >> _BITPOS[None, :]) & _U1).astype(np.int16)
+        nonempty = np.flatnonzero(counts > 0)
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        sums = np.add.reduceat(bits, offs[nonempty], axis=0).astype(np.int64)
+        v = 2 * sums - counts[nonempty, None]
+        packed = ((v > 0).astype(np.uint64) << _BITPOS[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[start:end][counts > 0] = packed.view(np.int64)
     return out
 
 

@@ -301,13 +301,19 @@ def _segments_batch(doc_tokens, doc_spans, seg_tokens: int = SEG_TOKENS):
     return out
 
 
-@F.pandas_udf(TOKTF_SCHEMA)
-def tok_tf_simhash_udf(text: pd.Series) -> pd.DataFrame:
-    from iscc_search_spark.functions.simhash import simhash_batch
+def _toktf_batch(text: pd.Series, derived: bool) -> pd.DataFrame:
+    from iscc_search_spark.functions.simhash import (
+        simhash_batch,
+        simhash_unweighted_batch,
+    )
 
-    tok_span = [token_spans_py(t) if t is not None else ([], []) for t in text]
-    doc_tokens = [ts[0] for ts in tok_span]
-    doc_spans = [ts[1] for ts in tok_span]
+    if derived:
+        tok_span = [token_spans_py(t) if t is not None else ([], []) for t in text]
+        doc_tokens = [ts[0] for ts in tok_span]
+        doc_spans = [ts[1] for ts in tok_span]
+    else:
+        doc_tokens = [tokenize_py(t) if t is not None else [] for t in text]
+        doc_spans = None
     terms_out, tfs_out, posinfo, lens = _group_tokens_batch(doc_tokens)
     within, gstarts, gdoc_off, doc_off = (
         posinfo
@@ -325,11 +331,15 @@ def tok_tf_simhash_udf(text: pd.Series) -> pd.DataFrame:
         within, gstarts, gdoc_off, doc_off, len(doc_tokens)
     )
     sh = simhash_batch(terms_out, tfs_out)
-    shingles = _shingle_sets(doc_tokens)
-    data_sh = simhash_batch(
-        shingles, [np.ones(len(s), dtype=np.int64) for s in shingles]
-    )
-    segs = _segments_batch(doc_tokens, doc_spans)
+    if derived:
+        shingles = _shingle_sets(doc_tokens)
+        # distinct shingles, tf=1 each -> the unweighted fast path (no
+        # dense tf matrix, no global cache — shingles are batch-unique)
+        data_sh = simhash_unweighted_batch(shingles)
+        segs = _segments_batch(doc_tokens, doc_spans)
+    else:
+        data_sh = [None] * len(doc_tokens)  # null, not 0: "not computed"
+        segs = [None] * len(doc_tokens)
     return pd.DataFrame(
         {
             "terms": [list(t) for t in terms_out],
@@ -342,3 +352,19 @@ def tok_tf_simhash_udf(text: pd.Series) -> pd.DataFrame:
             "segs": segs,
         }
     )
+
+
+@F.pandas_udf(TOKTF_SCHEMA)
+def tok_tf_simhash_udf(text: pd.Series) -> pd.DataFrame:
+    """Full fused pass: terms/tfs/positions/doc simhash + the derived
+    similarity values (DATA shingle simhash, granular segment simprints)
+    while the token stream is in hand."""
+    return _toktf_batch(text, derived=True)
+
+
+@F.pandas_udf(TOKTF_SCHEMA)
+def tok_tf_lean_udf(text: pd.Series) -> pd.DataFrame:
+    """Postings-only variant (the bare north-rule inverted-index build):
+    same schema, null similarity columns — ~35% less stage-A CPU when the
+    deployment doesn't want the similarity family."""
+    return _toktf_batch(text, derived=False)

@@ -63,7 +63,7 @@ from iscc_search_spark.catalog import IndexCatalog
 from iscc_search_spark.config import DEFAULT, EngineConfig
 from iscc_search_spark.functions import codec
 from iscc_search_spark.functions.hashing import doc_id_udf, instance_expr
-from iscc_search_spark.functions.textnorm import tok_tf_simhash_udf
+from iscc_search_spark.functions.textnorm import tok_tf_lean_udf, tok_tf_simhash_udf
 
 # per-block metadata stores (max_tf, min_dl) instead of a precomputed
 # max-tfnorm: tfnorm is increasing in tf and decreasing in dl, so
@@ -215,11 +215,13 @@ def build_segments(
     resume: bool = True,
     run_id: str = "run",
     fail_after_groups: int | None = None,
+    derived: bool = True,
 ) -> tuple[list[int], list[int]]:
     """Stage A.  Returns (parts_built, parts_skipped).
 
-    ``fail_after_groups`` injects a mid-build crash for the kill/rerun
-    resumability test (FIXTURES.md §6).
+    ``derived=False`` runs the lean tokenize pass (null similarity
+    columns) for postings-only builds.  ``fail_after_groups`` injects a
+    mid-build crash for the kill/rerun resumability test (FIXTURES.md §6).
     """
     import shutil
 
@@ -282,8 +284,9 @@ def build_segments(
         # boundaries give ~one part per task.  ONE fused UDF pass writes
         # the single docs table — terms, tfs, positions, doc_len, simhash
         # AND the JVM row-hash fingerprint columns in the same job.
+        tok = tok_tf_simhash_udf if derived else tok_tf_lean_udf
         enc = pg.repartitionByRange(len(group), "part").withColumn(
-            "tt", tok_tf_simhash_udf("text")
+            "tt", tok("text")
         )
         docs = enc.select(
             "part",
@@ -380,14 +383,16 @@ def build_derived(
 
     if parts is not None and not parts:
         return
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs = spark.read.parquet(cat.docs)
     if parts is None:
-        # full overwrite must not leave stale part dirs behind
+        # full overwrite must not leave stale part dirs behind; cleared
+        # dirs -> static committer (no per-partition staging moves)
         shutil.rmtree(cat.units, ignore_errors=True)
         shutil.rmtree(cat.simprints, ignore_errors=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
         n = max(len(_read_checkpoint_rows(spark, cat)), 1)
     else:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         docs = docs.filter(F.col("part").isin(list(parts)))
         n = max(len(parts), 1)
         for p in parts:  # clear affected dirs (a part may become empty)
@@ -612,10 +617,11 @@ def _write_blocks(blocks: DataFrame, path: str, n_buckets: int, n_shards: int) -
     per-shard rewrite (dynamic overwrite touches only the changed shard's
     dirs, the reference's delete-stale-then-insert granularity).  Within
     each file rows are sorted by term so row-group min/max stats prune
-    non-query terms.  Range (not hash) clustering: hashing k distinct
-    combos into k slots leaves ~1/e empty (birthday collisions)."""
+    non-query terms.  One write task per BUCKET, each emitting its
+    n_shards dir files (measured: 512 single-dir range tasks cost ~2x the
+    per-bucket write at this scale; dir count is unchanged)."""
     (
-        blocks.repartitionByRange(n_buckets * n_shards, "bucket", "shard")
+        blocks.repartition("bucket")
         .sortWithinPartitions("bucket", "shard", "term", "block_id")
         .write.mode("overwrite")
         .partitionBy("bucket", "shard")
@@ -680,6 +686,12 @@ def build_postings(
     n_docs, avgdl = corpus_stats_from_checkpoints(spark, cat)
     shutil.rmtree(cat.postings, ignore_errors=True)
     shutil.rmtree(cat.term_stats, ignore_errors=True)
+    # output dirs are now empty -> STATIC committer: the dynamic-overwrite
+    # committer does driver-serial per-partition staging moves, a
+    # core-count-independent cost that grows with the (bucket, shard) dir
+    # count and eats the fast leg's scaling (measured on the 512-dir
+    # layout); dynamic mode is for the INCREMENTAL path only
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
 
     # docs carry doc_len inline (denormalized at stage A) so stage B needs
     # NO join — the term shuffle is the build's only wide dependency
@@ -862,7 +874,7 @@ def update_postings_incremental(
         for d in glob.glob(os.path.join(cat.postings, "bucket=*", f"shard={s}")):
             shutil.rmtree(d, ignore_errors=True)
     (
-        blocks.repartitionByRange(max(len(shards), 1) * cfg.term_buckets, "bucket", "shard")
+        blocks.repartition("bucket")
         .sortWithinPartitions("bucket", "shard", "term", "block_id")
         .write.mode("overwrite")
         .partitionBy("bucket", "shard")
@@ -1037,8 +1049,11 @@ def upsert_docs(
     key_rows = delta.select("part", "doc_id").distinct().collect()
     parts = sorted({int(r["part"]) for r in key_rows})
     changed_ids = sorted({int(r["doc_id"]) for r in key_rows})
+    # match the index's build mode: a lean (postings-only) index must not
+    # gain a few derived-valued docs mid-stream
+    tok = tok_tf_simhash_udf if cat.exists("units") else tok_tf_lean_udf
     enc = delta.repartition(max(len(parts), 1), "part").withColumn(
-        "tt", tok_tf_simhash_udf("text")
+        "tt", tok("text")
     )
     new_docs = enc.select(
         "part", "doc_id", "url", "lang", h1, h2,
@@ -1132,7 +1147,8 @@ def build_index(
     t0 = time.time()
     cat = IndexCatalog(index_dir)
     built, skipped = build_segments(
-        spark, pages, cat, cfg, n_parts, group_size, resume, run_id
+        spark, pages, cat, cfg, n_parts, group_size, resume, run_id,
+        derived=derived,
     )
     res = build_postings(spark, cat, cfg, n_shards, run_id)
     if derived:

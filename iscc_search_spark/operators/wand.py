@@ -104,8 +104,47 @@ class IndexReader:
         self.n_buckets = int(self.meta["term_buckets"])
         self.blocks = self.spark.read.parquet(self.cat.postings)
         self._stats: dict[str, int] | None = None
+        self._pa_dataset = None  # lazy; (bucket, shard) dir listing is paid
+        # once per open, NOT per local query (512 dirs cost ~70 ms to list)
+        self._bucket_cache: dict[int, pd.DataFrame] = {}
+        self._bucket_cache_bytes = 0
         if self._cache_stats:
             self._load_stats()
+
+    def pa_dataset(self):
+        if self._pa_dataset is None:
+            import pyarrow.dataset as ds
+
+            self._pa_dataset = ds.dataset(
+                self.cat.postings, format="parquet", partitioning="hive"
+            )
+        return self._pa_dataset
+
+    # hot-bucket block cache for the driver-local fast path: one pyarrow
+    # read per BUCKET (not per query) amortizes the (bucket, shard) file
+    # opens that dominated single-query latency (measured 56 of 75 ms);
+    # the serving-node analogue of the reference's OS-cached LMDB pages.
+    # Budget-capped — over budget, queries fall back to filtered reads.
+    _BLOCK_CACHE_BYTES = 256 * 1024 * 1024
+    _BLOCK_COLS = [
+        "term", "n", "min_doc", "doc_ids", "tfs", "dls", "max_tf", "min_dl"
+    ]
+
+    def bucket_blocks(self, bucket: int):
+        """pandas blocks of one bucket, cached (None if over budget)."""
+        if bucket in self._bucket_cache:
+            return self._bucket_cache[bucket]
+        if self._bucket_cache_bytes >= self._BLOCK_CACHE_BYTES:
+            return None
+        import pyarrow.dataset as ds
+
+        t = self.pa_dataset().to_table(
+            columns=self._BLOCK_COLS, filter=ds.field("bucket") == bucket
+        )
+        pdf = t.to_pandas()
+        self._bucket_cache_bytes += int(t.nbytes)
+        self._bucket_cache[bucket] = pdf
+        return pdf
 
     def ensure_fresh(self) -> None:
         """Reload caches if the index was updated since open (cheap stat)."""
@@ -289,15 +328,27 @@ def bm25_wand_topk_local(
         return bm25_wand_topk(r.spark, r, query, k).toPandas()
     idf = r.idf(term_df)
 
-    import pyarrow.dataset as ds
-
     buckets = sorted({_bucket_of(t, r.n_buckets) for t in term_df})
-    d = ds.dataset(r.cat.postings, format="parquet", partitioning="hive")
-    flt = ds.field("bucket").isin(buckets) & ds.field("term").isin(list(term_df))
-    pdf = d.to_table(
-        columns=["term", "n", "min_doc", "doc_ids", "tfs", "dls", "max_tf", "min_dl"],
-        filter=flt,
-    ).to_pandas()
+    parts: list[pd.DataFrame] = []
+    misses: list[int] = []
+    for bkt in buckets:
+        cached = r.bucket_blocks(bkt)
+        if cached is None:
+            misses.append(bkt)
+        else:
+            parts.append(cached[cached["term"].isin(term_df)])
+    if misses:
+        import pyarrow.dataset as ds
+
+        flt = ds.field("bucket").isin(misses) & ds.field("term").isin(
+            list(term_df)
+        )
+        parts.append(
+            r.pa_dataset()
+            .to_table(columns=IndexReader._BLOCK_COLS, filter=flt)
+            .to_pandas()
+        )
+    pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
     if len(pdf) == 0:
         return empty
     # the whole candidate set scores as ONE "shard": per-doc sums are

@@ -60,7 +60,11 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
-        .config("spark.sql.files.openCostInBytes", "1m")
+        # small open-cost so the MANY small posting-block files of the
+        # (bucket, shard) layout pack into few scan tasks (1m made every
+        # ~4 files a task -> 128 tasks to scan a 512-file index; scorer
+        # parallelism comes from the groupBy(shard) shuffle, not the scan)
+        .config("spark.sql.files.openCostInBytes", "131072")
         # zstd: ~2x smaller files than snappy — trades (scalable) CPU for
         # (serial, single-disk) IO, which is the local write floor
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -204,6 +204,23 @@ def test_nphd_wide_prune_matches_full_scan(spark, pages_df, built):
     assert "shiftrightunsigned" in plan
 
 
+def test_nphd_mixed_prune_matches_full_scan(spark, pages_df, built):
+    from iscc_search_spark.operators.multiunit import (
+        mixed_length_units,
+        nphd_topk,
+    )
+
+    u = mixed_length_units(units=load_units(spark, built)).localCheckpoint()
+    qid = int(u.select("doc_id").orderBy("doc_id").first()["doc_id"])
+    full = nphd_topk(u, qid, k=10)
+    want = [(r["doc_id"], r["nphd"]) for r in full.collect() if r["nphd"] <= 0.25]
+    got = [
+        (r["doc_id"], r["nphd"])
+        for r in nphd_topk(u, qid, k=10, max_nphd=0.25).orderBy("rank").collect()
+    ]
+    assert got == want
+
+
 # --- combinatorial granular prune (exact recall, higher selectivity) -----------
 
 

@@ -53,3 +53,34 @@ def test_extract_text_roundtrip(spark, pages_df):
         .count()
     )
     assert bad == 0
+
+
+def test_uri_template_expansion_parity(spark):
+    """F8: JVM replace-chain == single-node twin (reference
+    aggregator/entry.py:25-51 semantics: prefix-strip + lowercase for ISCC
+    values, {/var} and {.var} operator forms, plain URLs pass through)."""
+    from pyspark.sql import functions as F
+
+    from iscc_search_spark.functions.uritemplate import (
+        expand_gateway_expr,
+        expand_gateway_py,
+    )
+
+    rows = [
+        ("https://g.test/{iscc_code}", "ISCC:MAACX", "ISCC:KACTY", "abcd01"),
+        ("https://g.test{/iscc_id}", "ISCC:MAACX", "ISCC:KACTY", "abcd01"),
+        ("https://g.test/o{.datahash}", "ISCC:MAACX", "ISCC:KACTY", "abcd01"),
+        ("https://plain.test/url", "ISCC:A", "ISCC:B", "ff"),
+        ("{iscc_id}/{iscc_code}{.datahash}", "ISCC:AAA", "ISCC:BBB", "cc"),
+    ]
+    df = spark.createDataFrame(rows, "t string, iid string, icode string, dh string")
+    got = [
+        r["u"]
+        for r in df.select(
+            expand_gateway_expr("t", "iid", "icode", "dh").alias("u")
+        ).collect()
+    ]
+    want = [expand_gateway_py(*r) for r in rows]
+    assert got == want
+    assert got[3] == "https://plain.test/url"
+    assert got[0] == "https://g.test/kacty"
