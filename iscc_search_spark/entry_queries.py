@@ -515,6 +515,62 @@ SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(cosine, 6) AS cosine FROM (
     # bits, band candidates and the exact rerank agree bit-for-bit
     oracles["ann_rph_lsh_topk"] = _rph_lsh_oracle_sql(ANN_QUERY_ID)
 
+    # --- IVF-Flat ANN: coarse quantizer + probed-cell exact rerank ----------
+    # the seeded centroid matrix is inlined as literals (like the RPH
+    # planes); assignment = argmin over index-ordered float64 distance
+    # folds on BOTH sides, ties -> lowest cell; probe = the query's
+    # n_probe nearest cells by the same fold
+    IVF_CELLS, IVF_PROBE = 16, 4
+
+    def ann_ivf(spark, sf):
+        from iscc_search_spark.operators.ann import (
+            ivf_ann_topk,
+            ivf_random_centroids,
+        )
+
+        cents = ivf_random_centroids(64, IVF_CELLS)
+        out = ivf_ann_topk(
+            _t(spark, sf, "embeddings"), ANN_QUERY_ID, k=10,
+            n_cells=IVF_CELLS, n_probe=IVF_PROBE, centroids=cents,
+        )
+        return out.withColumn("cosine", F.round("cosine", 6))
+
+    queries["ann_ivf_topk"] = ann_ivf
+
+    from iscc_search_spark.operators.ann import ivf_random_centroids
+
+    _cents = ivf_random_centroids(64, IVF_CELLS)
+    cent_rows = ", ".join(
+        "(" + str(c) + ", [" + ", ".join(_d(float(v)) for v in _cents[c]) + "])"
+        for c in range(IVF_CELLS)
+    )
+    oracles["ann_ivf_topk"] = f"""
+WITH cents AS (SELECT * FROM (VALUES {cent_rows}) c(cell, cv)),
+dists AS (SELECT e.vec_id, c.cell,
+                 list_reduce(list_transform(range(1, 65),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - cv[i]) * (CAST(e.embedding[i] AS DOUBLE) - cv[i])),
+                   (a, b) -> a + b) AS d
+          FROM embeddings e, cents c),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+             FROM dists) WHERE rn = 1),
+probe AS (SELECT cell FROM (
+            SELECT cell, row_number() OVER (ORDER BY d, cell) AS rn
+            FROM dists WHERE vec_id = {ANN_QUERY_ID}) WHERE rn <= {IVF_PROBE}),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe USING (cell)
+         WHERE a.vec_id <> {ANN_QUERY_ID}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+pr AS (SELECT e.vec_id,
+              list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a, b) -> a + b) AS dot,
+              sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS ne,
+              sqrt(list_reduce(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nq
+       FROM embeddings e JOIN cand USING (vec_id), q)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(cosine, 6) AS cosine FROM (
+  SELECT vec_id, dot / (ne * nq) AS cosine,
+         row_number() OVER (ORDER BY dot / (ne * nq) DESC, vec_id) AS rank FROM pr
+) WHERE rank <= 10"""
+
     # --- text analysis ------------------------------------------------------
     def qual(spark, sf):
         return quality_features(_t(spark, sf, "documents"))
@@ -659,6 +715,44 @@ uv AS (SELECT doc_id,
                       ELSE CAST(simhash AS HUGEINT) END) AS val
        FROM sh)
 SELECT doc_id, 'ISCC:' || {chars} AS iscc FROM uv"""
+
+    # --- P4: TRUE realm predicate over ISCC-IDs -----------------------------
+    # every doc gets a realm-scoped ISCC-ID (realm = doc_id % 2, the
+    # sandbox/production split); the engine EXTRACTS the realm by decoding
+    # the id string (not trusting metadata) and filters realm=1 — the
+    # reference's extract_realm_id + expected-realm check
+    # (indexes/common.py:129-144, 223-262).  The oracle rebuilds the same
+    # base32 strings arithmetically and filters on the generator's realm.
+    def p4(spark, sf):
+        from iscc_search_spark.functions.iscc_codec import (
+            iscc_id_realm_udf,
+            iscc_id_udf,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            iscc_id_udf(
+                "doc_id", F.pmod("doc_id", F.lit(2)).cast("int")
+            ).alias("iscc_id"),
+        )
+        return d.withColumn("realm", iscc_id_realm_udf("iscc_id")).filter(
+            F.col("realm") == 1
+        )
+
+    queries["p4_realm_predicate"] = p4
+    # header16 = ((6 << 4) | realm) << 8; 10-byte code -> 16 base32 chars
+    id_chars = " || ".join(
+        f"substr('{alph}', CAST((val // CAST('{2 ** (75 - 5 * i)}' AS HUGEINT)) % 32 AS INT) + 1, 1)"
+        for i in range(16)
+    )
+    oracles["p4_realm_predicate"] = f"""
+WITH uv AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS realm,
+                   (CAST('{0x6000 * 2 ** 64}' AS HUGEINT)
+                    + CAST(doc_id % 2 AS HUGEINT) * CAST('{0x0100 * 2 ** 64}' AS HUGEINT)
+                    + (CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+                            ELSE CAST(doc_id AS HUGEINT) END)) AS val
+            FROM documents)
+SELECT doc_id, 'ISCC:' || {id_chars} AS iscc_id, realm FROM uv WHERE realm = 1"""
 
     # --- multi-unit ISCC: F4 composition + flagship search (A3/A8/J) -------
     # shared SQL pieces: per-doc DATA_V0 simhash (distinct 3-gram shingles,

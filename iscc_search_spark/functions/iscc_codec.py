@@ -78,6 +78,64 @@ def code_simhash_udf(code: pd.Series) -> pd.Series:
     return code.map(code_to_simhash)
 
 
+# --- ISCC-ID v1: realm-scoped 64-bit identifiers (P4 realm predicate) --------
+# The reference scopes every asset id to a REALM (0 = sandbox, 1 =
+# production) carried in the ISCC-ID header's subtype nibble; queries
+# validate ids against the index's expected realm and reject mismatches
+# (iscc_search/indexes/common.py:129-144 extract_realm_id, 223-262
+# validate_iscc_id).  Same header scheme as units: MainType ID, subtype =
+# realm, version 0, length field 0 (64-bit v1), 8-byte body.
+
+MT_ID = 6
+
+
+def iscc_id_encode(body: int, realm: int) -> str:
+    """(int64 body, realm 0/1) -> canonical ISCC-ID string."""
+    if realm not in (0, 1):
+        raise ValueError(f"invalid realm: {realm}")
+    return encode_unit(_i64_body(body), MT_ID, realm, length=0)
+
+
+def iscc_id_decode(code: str) -> tuple[int, int]:
+    """ISCC-ID string -> (realm, int64 body); raises ValueError on any
+    malformation (the reference's validate_iscc_id checks)."""
+    if not code or not code.startswith("ISCC:"):
+        raise ValueError(f"invalid ISCC-ID format: {code!r}")
+    try:
+        mt, st, ver, ln, body = decode_unit(code)
+    except Exception as e:
+        raise ValueError(f"invalid ISCC-ID base32: {e}")
+    if mt != MT_ID:
+        raise ValueError(f"not an ISCC-ID (maintype {mt}): {code}")
+    if ver != 0 or ln != 0 or len(body) != 8:
+        raise ValueError(f"not a 64-bit ISCC-ID v1: {code}")
+    if st not in (0, 1):
+        raise ValueError(f"invalid realm {st}: {code}")
+    return st, _body_i64(body)
+
+
+def validate_iscc_id(code: str, expected_realm: int | None = None) -> None:
+    """Reference-parity validation: format + optional realm check."""
+    realm, _ = iscc_id_decode(code)
+    if expected_realm is not None and realm != expected_realm:
+        raise ValueError(
+            f"realm mismatch: expected {expected_realm}, got {realm}: {code}"
+        )
+
+
+@F.pandas_udf(T.StringType())
+def iscc_id_udf(body: pd.Series, realm: pd.Series) -> pd.Series:
+    return pd.Series(
+        [iscc_id_encode(int(b), int(r)) for b, r in zip(body, realm)]
+    )
+
+
+@F.pandas_udf(T.IntegerType())
+def iscc_id_realm_udf(code: pd.Series) -> pd.Series:
+    """Realm extracted by DECODING the id string (not trusted metadata)."""
+    return pd.Series([iscc_id_decode(c)[0] for c in code], dtype="int32")
+
+
 # --- WIDE units: 128/192/256-bit bodies through the string codec (F3) --------
 # The reference's unit bodies span 64..256 bits (iscc_search/models.py:
 # 225-316).  The length nibble is (bits/32)-1 = 1/3/5/7 — all plain nibble

@@ -101,6 +101,150 @@ def rph_signature_udf(dim: int, n_planes: int = 64, seed: int = 42):
     return sig
 
 
+# --- IVF-Flat: coarse quantizer + probed-cell exact rerank --------------------
+# The classic inverted-file ANN (the scale path beside LSH): k-means cell
+# centroids partition the vector space; each vector is stored under its
+# nearest cell; a query probes only its n_probe nearest cells and reranks
+# those candidates exactly.  At 10^12 vectors the cell column is a
+# PARTITION KEY — probing is partition pruning, the same physical shape as
+# the posting-bucket prune.  Training is driver-side over a deterministic
+# sample (centroids are small); assignment/probing are oracle-checkable
+# because every distance is an index-ordered float64 fold and the trained
+# centroids are inlined into the DuckDB SQL as literals (same discipline
+# as the RPH plane literals above).
+
+
+def ivf_train_centroids(
+    sample: np.ndarray, n_cells: int, iters: int = 5
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means: init = evenly spaced rows of the
+    (caller-ordered) sample; fixed iteration count; ties -> lowest cell.
+    Returns (n_cells, dim) float64."""
+    n = len(sample)
+    idx = (np.arange(n_cells, dtype=np.int64) * n) // n_cells
+    cent = sample[idx].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the lowest index on ties
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_random_centroids(dim: int, n_cells: int, seed: int = 42) -> np.ndarray:
+    """Seeded Gaussian coarse quantizer (data-independent Voronoi cells).
+    Slightly weaker than trained centroids, but the centroid values can be
+    inlined into the DuckDB oracle as literals — the same discipline that
+    makes the RPH-LSH gate fully checkable.  The trained path
+    (ivf_train_centroids) is pytest-verified instead (recall == exact when
+    probing all cells)."""
+    return np.random.default_rng(seed).standard_normal((n_cells, dim))
+
+
+def ivf_cell_udf(centroids: np.ndarray):
+    """Pandas UDF: embedding -> nearest-centroid cell id.
+
+    Distances are INDEX-ORDERED float64 folds over dimensions (not a BLAS
+    matmul): the oracle recomputes the same fold in SQL, and a near-tie
+    must resolve identically in both engines."""
+    cent = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+        acc = np.zeros((m.shape[0], cent.shape[0]), dtype=np.float64)
+        for i in range(cent.shape[1]):  # ascending dim: ordered fold
+            diff = m[:, i : i + 1] - cent[None, :, i]
+            acc += diff * diff
+        return pd.Series(acc.argmin(axis=1).astype(np.int32))
+
+    return cell
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    sample_rows: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """(embeddings + cell column, centroids).  The sample is the first
+    ``sample_rows`` vectors by id — deterministic across runs/engines.
+    Persist the result partitioned by cell for probe-time pruning."""
+    rows = (
+        embeddings.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    )
+    sample = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    cent = ivf_train_centroids(sample, n_cells, iters)
+    assigned = embeddings.withColumn("cell", ivf_cell_udf(cent)(vec_col))
+    return assigned, cent
+
+
+def _ordered_sqdist(vec: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Index-ordered float64 squared distances of one vector to each
+    centroid (driver twin of the UDF fold)."""
+    acc = np.zeros(cent.shape[0], dtype=np.float64)
+    for i in range(cent.shape[1]):
+        d = vec[i] - cent[:, i]
+        acc += d * d
+    return acc
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """(rank, vec_id, cosine) IVF top-k: probe the query's ``n_probe``
+    nearest cells, exact cosine rerank inside them (self-excluded).  Pass
+    the persisted (assigned, centroids) pair to skip training."""
+    if centroids is None:
+        assigned, centroids = ivf_build(
+            embeddings, n_cells, iters, id_col=id_col, vec_col=vec_col
+        )
+    elif assigned is None:
+        assigned = embeddings.withColumn(
+            "cell", ivf_cell_udf(centroids)(vec_col)
+        )
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    spark = embeddings.sparkSession
+    empty = spark.createDataFrame([], "rank long, vec_id long, cosine double")
+    if not qrow:
+        return empty
+    qv = np.array(list(qrow[0][0]), dtype=np.float64)
+    d2 = _ordered_sqdist(qv, centroids.astype(np.float64))
+    probe = np.argsort(d2, kind="stable")[:n_probe]  # ties -> lowest cell
+    cand = assigned.filter(
+        F.col("cell").isin([int(c) for c in probe])
+        & (F.col(id_col) != query_vec_id)
+    )
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        F.col(id_col).alias("vec_id"),
+        (
+            _dot_expr(F.col(vec_col), F.col("qv"))
+            / (_norm_expr(F.col(vec_col)) * _norm_expr(F.col("qv")))
+        ).alias("cosine"),
+    )
+    topk = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
 def rph_ann_topk(
     embeddings: DataFrame,
     query_vec_id: int,

