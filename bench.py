@@ -146,7 +146,7 @@ def main() -> None:
         # units + simprints), then each query reads its stage-C table from
         # disk — the deployment shape (no per-query corpus recompute)
         from iscc_search_spark.entry_queries import _built_index
-        from iscc_search_spark.operators.build import load_units
+        from iscc_search_spark.operators.build import load_unit_bands, load_units
         from iscc_search_spark.operators.multiunit import (
             mixed_length_units,
             nphd_topk,
@@ -159,7 +159,9 @@ def main() -> None:
         timed(
             "multiunit_search_persisted",
             lambda: search_assets_multiunit(
-                None, 7, k=10, units=load_units(spark, docs_idx)
+                None, 7, k=10,
+                units=load_units(spark, docs_idx),
+                bands=load_unit_bands(spark, docs_idx),
             ).collect(),
         )
         timed(

@@ -60,6 +60,14 @@ class IndexCatalog:
         return self.path("simprints")
 
     @property
+    def unit_bands(self) -> str:
+        return self.path("unit_bands")
+
+    @property
+    def simprint_bands(self) -> str:
+        return self.path("simprint_bands")
+
+    @property
     def checkpoints(self) -> str:
         return self.path("_checkpoints")
 

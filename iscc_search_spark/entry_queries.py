@@ -823,13 +823,17 @@ un AS (SELECT d.doc_id, sh.simhash AS content_sh,
     )
 
     def jmu(spark, sf):
-        # serves from the PERSISTED units table (stage C build artifact) —
-        # no per-query recompute of the corpus units
-        from iscc_search_spark.operators.build import load_units
+        # serves from the PERSISTED units + band-key LOOKUP tables (stage C
+        # build artifacts) — candidates come from a ~35-key read of the
+        # LSH table, not a scan filter, and no per-query unit recompute
+        from iscc_search_spark.operators.build import load_unit_bands, load_units
         from iscc_search_spark.operators.multiunit import search_assets_multiunit
 
-        units = load_units(spark, _built_index(spark, sf))
-        out = search_assets_multiunit(None, MLT_DOC, k=10, units=units)
+        idx = _built_index(spark, sf)
+        out = search_assets_multiunit(
+            None, MLT_DOC, k=10,
+            units=load_units(spark, idx), bands=load_unit_bands(spark, idx),
+        )
         return out.withColumn("score", F.round("score", 6))
 
     queries["j_multiunit_search"] = jmu
@@ -1037,14 +1041,13 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(nphd, 6) AS nphd,
     GRANULAR_QUERY = GRANULAR_QUERY_TEXT
 
     def a7(spark, sf):
-        # serves from the PERSISTED simprints table (stage C build artifact)
-        from iscc_search_spark.operators.build import load_simprints
+        # serves from the PERSISTED simprint band-key LOOKUP table (stage C
+        # build artifact): candidates are a keyed read, not a banded scan
+        from iscc_search_spark.operators.build import load_simprint_bands
         from iscc_search_spark.operators.simprints import granular_topk
 
-        sp = load_simprints(spark, _built_index(spark, sf))
-        out = granular_topk(
-            None, GRANULAR_QUERY, k=10, max_hamming=12, simprints=sp
-        )
+        sb = load_simprint_bands(spark, _built_index(spark, sf))
+        out = granular_topk(None, GRANULAR_QUERY, k=10, max_hamming=12, bands=sb)
         return out.withColumn("score", F.round("score", 6))
 
     queries["a7_granular_simprint_search"] = a7

@@ -78,6 +78,13 @@ POSTINGS_SCHEMA = (
 )
 
 
+# frozen band counts of the persisted LSH lookup tables (stage C):
+# 17 unit bands <=> lossless for the 0.75 unit-confidence threshold
+# (hamming <= 16); 13 simprint bands <=> lossless for max_hamming <= 12
+UNIT_BANDS = 17
+SEG_BANDS = 13
+
+
 @dataclass
 class BuildResult:
     n_docs: int
@@ -384,11 +391,12 @@ def build_derived(
     if parts is not None and not parts:
         return
     docs = spark.read.parquet(cat.docs)
+    tables = (cat.units, cat.simprints, cat.unit_bands, cat.simprint_bands)
     if parts is None:
         # full overwrite must not leave stale part dirs behind; cleared
         # dirs -> static committer (no per-partition staging moves)
-        shutil.rmtree(cat.units, ignore_errors=True)
-        shutil.rmtree(cat.simprints, ignore_errors=True)
+        for t in tables:
+            shutil.rmtree(t, ignore_errors=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
         n = max(len(_read_checkpoint_rows(spark, cat)), 1)
     else:
@@ -396,8 +404,8 @@ def build_derived(
         docs = docs.filter(F.col("part").isin(list(parts)))
         n = max(len(parts), 1)
         for p in parts:  # clear affected dirs (a part may become empty)
-            shutil.rmtree(os.path.join(cat.units, f"part={p}"), ignore_errors=True)
-            shutil.rmtree(os.path.join(cat.simprints, f"part={p}"), ignore_errors=True)
+            for t in tables:
+                shutil.rmtree(os.path.join(t, f"part={p}"), ignore_errors=True)
 
     units = docs.select(
         "part",
@@ -430,6 +438,69 @@ def build_derived(
         .parquet(cat.simprints)
     )
 
+    # LSH band-key LOOKUP tables: candidate fetch for the similarity
+    # queries becomes a keyed read (row-group pruned on the sorted (band,
+    # key) prefix within every part file), not a scan-plus-filter — the
+    # reference's one-lookup-structure-per-unit-type model.  Banding is
+    # FROZEN at write time: units at 17 bands (lossless for the 0.75
+    # confidence threshold <=> hamming <= 16) + data bands + one exact
+    # instance band; simprints at 13 bands (lossless for max_hamming <=
+    # 12, the highest threshold the granular gate serves).
+    from iscc_search_spark.operators.simprints import band_widths
+
+    def band_entries(hash_col, n_bands, base):
+        out = []
+        for i, (shift, w) in enumerate(band_widths(n_bands)):
+            out.append(
+                F.struct(
+                    F.lit(base + i).alias("band"),
+                    F.shiftrightunsigned(hash_col, shift)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .alias("key"),
+                )
+            )
+        return out
+
+    # ONE docs scan; the 35 (band, key) rows per doc come from a JVM
+    # explode of struct literals (35 unioned selects would re-scan docs
+    # per band at 10^12 rows)
+    entries = (
+        band_entries(F.col("simhash"), UNIT_BANDS, 0)
+        + band_entries(F.col("data_sh"), UNIT_BANDS, UNIT_BANDS)
+        + [
+            F.struct(
+                F.lit(2 * UNIT_BANDS).alias("band"),
+                F.col("instance").alias("key"),  # exact-match band
+            )
+        ]
+    )
+    ub = docs.select(
+        "part", "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("part", "doc_id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+    (
+        ub.repartitionByRange(n, "part")
+        .sortWithinPartitions("part", "band", "key")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(cat.unit_bands)
+    )
+
+    seg_entries = band_entries(F.col("simhash"), SEG_BANDS, 0)
+    sb = sp.select(
+        "part", "doc_id", "seg_idx", "simhash",
+        F.explode(F.array(*seg_entries)).alias("e"),
+    ).select(
+        "part", "doc_id", "seg_idx", "simhash",
+        F.col("e.band").alias("band"), F.col("e.key").alias("key"),
+    )
+    (
+        sb.repartitionByRange(n, "part")
+        .sortWithinPartitions("part", "band", "key")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(cat.simprint_bands)
+    )
+
 
 def load_units(spark: SparkSession, index_dir: str) -> DataFrame:
     """(doc_id, content_sh, data_sh, instance) from the persisted table."""
@@ -444,6 +515,21 @@ def load_simprints(spark: SparkSession, index_dir: str) -> DataFrame:
     cat = IndexCatalog(index_dir)
     return spark.read.parquet(cat.simprints).select(
         "doc_id", "seg_idx", "n_tokens", "offset", "size", "simhash"
+    )
+
+
+def load_unit_bands(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(doc_id, band, key) LSH lookup rows: bands 0..16 = content,
+    17..33 = data, 34 = exact instance (key = the instance value)."""
+    cat = IndexCatalog(index_dir)
+    return spark.read.parquet(cat.unit_bands).select("doc_id", "band", "key")
+
+
+def load_simprint_bands(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(doc_id, seg_idx, simhash, band, key) LSH lookup rows (13 bands)."""
+    cat = IndexCatalog(index_dir)
+    return spark.read.parquet(cat.simprint_bands).select(
+        "doc_id", "seg_idx", "simhash", "band", "key"
     )
 
 

@@ -366,6 +366,19 @@ def unit_prefix_scan(
     )
 
 
+def unit_band_keys(qc: int, qd: int, qi: int, n_bands: int = 17) -> list[tuple[int, int]]:
+    """The (band, key) lookup keys of one query's units: content bands
+    0..n-1, data bands n..2n-1, exact instance band 2n (key = the signed
+    instance value) — mirrors the layout build_derived writes."""
+    out = []
+    for base, qv in ((0, qc), (n_bands, qd)):
+        uq = qv & (2**64 - 1)
+        for i, (shift, w) in enumerate(band_widths(n_bands)):
+            out.append((base + i, (uq >> shift) & ((1 << w) - 1)))
+    out.append((2 * n_bands, qi))
+    return out
+
+
 def search_assets_multiunit(
     docs: DataFrame | None,
     query_doc_id: int,
@@ -373,13 +386,19 @@ def search_assets_multiunit(
     text_col: str = "text",
     id_col: str = "doc_id",
     units: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score, n_units) top-k assets by confidence-weighted
     multi-unit match against the query document's units (self-excluded).
 
     Pass ``units`` (the persisted build artifact, load_units) for the
     serving path — computing them from ``docs`` per query is the cold-start
-    fallback only."""
+    fallback only.  Pass ``bands`` (load_unit_bands) to fetch candidates
+    by KEYED LOOKUP from the persisted LSH table (row-group pruned on the
+    sorted (band, key) layout) instead of the banded scan filter — same
+    lossless candidate set (both admit every pair within the 0.75
+    threshold's hamming bound), different physical shape: the lookup reads
+    ~35 keys, the filter scans every unit row."""
     if units is None:
         units = asset_units(docs, text_col, id_col)
     spark = units.sparkSession
@@ -395,21 +414,28 @@ def search_assets_multiunit(
         int(qrow[0]["instance"]),
     )
 
-    # lossless candidate predicate: threshold 0.75 <=> hamming <= 16, so
-    # 17 bands pigeonhole-cover every confident similarity match; instance
-    # confidence is exact equality
-    cand_pred = (
-        _band_pred("content_sh", qc, _MAX_HAMMING + 1)
-        | _band_pred("data_sh", qd, _MAX_HAMMING + 1)
-        | (F.col("instance") == F.lit(qi))
-    )
+    if bands is not None:
+        # keyed candidate LOOKUP against the persisted LSH table
+        keys = unit_band_keys(qc, qd, qi, _MAX_HAMMING + 1)
+        pred = " OR ".join(f"(band = {b} AND key = {k_})" for b, k_ in keys)
+        cand_ids = bands.filter(pred).select("doc_id").distinct()
+        candidates = units.join(cand_ids, "doc_id", "left_semi")
+    else:
+        # lossless candidate predicate: threshold 0.75 <=> hamming <= 16,
+        # so 17 bands pigeonhole-cover every confident similarity match;
+        # instance confidence is exact equality
+        cand_pred = (
+            _band_pred("content_sh", qc, _MAX_HAMMING + 1)
+            | _band_pred("data_sh", qd, _MAX_HAMMING + 1)
+            | (F.col("instance") == F.lit(qi))
+        )
+        candidates = units.filter(cand_pred)
 
     sim = lambda col, qv: (  # noqa: E731
         F.lit(1.0) - hamming_expr(F.col(col), F.lit(qv)).cast("double") / F.lit(64.0)
     )
     scored = (
-        units.filter(F.col("doc_id") != query_doc_id)
-        .filter(cand_pred)
+        candidates.filter(F.col("doc_id") != query_doc_id)
         .withColumn("s_c", sim("content_sh", qc))
         .withColumn("s_d", sim("data_sh", qd))
         .withColumn(

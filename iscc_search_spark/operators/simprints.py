@@ -238,6 +238,8 @@ def granular_topk(
     simprints: DataFrame | None = None,
     n_bands: int | None = None,
     combo: int = 1,
+    bands: DataFrame | None = None,
+    bands_n: int = 13,
 ) -> DataFrame:
     """(rank, doc_id, score, n_matched_segs) top-k docs containing segments
     similar to the query's segments — banded-LSH candidate join, exact
@@ -249,12 +251,24 @@ def granular_topk(
 
     Pass ``simprints`` (the persisted build artifact,
     operators/build.py:load_simprints) for the serving path — segmenting
-    raw ``docs`` per query is the cold-start fallback only."""
-    if simprints is None:
-        simprints = simprints_table(docs, seg_tokens=seg_tokens)
-    spark = simprints.sparkSession
+    raw ``docs`` per query is the cold-start fallback only.  Pass
+    ``bands`` (load_simprint_bands, written at ``bands_n`` fixed bands) to
+    fetch candidates by KEYED LOOKUP from the persisted LSH table instead
+    of banding the simprints scan per query; recall stays exact for
+    max_hamming < bands_n (pigeonhole on the frozen banding)."""
+    if bands is not None:
+        if max_hamming >= bands_n:
+            raise ValueError(
+                f"max_hamming={max_hamming} exceeds the persisted band "
+                f"table's exact-recall bound (bands_n={bands_n})"
+            )
+        spark = bands.sparkSession
+    else:
+        if simprints is None:
+            simprints = simprints_table(docs, seg_tokens=seg_tokens)
+        spark = simprints.sparkSession
     n_bands = n_bands if n_bands is not None else max_hamming + combo
-    if max_hamming > n_bands - combo:
+    if bands is None and max_hamming > n_bands - combo:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_bands >= max_hamming + combo "
             f"(got n_bands={n_bands}, combo={combo}) for exact recall"
@@ -267,8 +281,21 @@ def granular_topk(
         return empty
     n_q = len(qsegs)
 
+    if bands is not None:
+        widths = band_widths(bands_n)
+        q_rows = []
+        for s, _, _, _, h in qsegs:
+            uh = h & ((1 << 64) - 1)
+            for b, (shift, w) in enumerate(widths):
+                q_rows.append((b, (uh >> shift) & ((1 << w) - 1), s, h))
+        q = spark.createDataFrame(
+            q_rows, "band int, key long, q_seg int, q_sim long"
+        )
+        cands = bands.join(F.broadcast(q), ["band", "key"])
+    else:
+        cands = _banded_candidates(simprints, qsegs, n_bands, combo)
     matched = (
-        _banded_candidates(simprints, qsegs, n_bands, combo)
+        cands
         .withColumn("h", hamming_expr(F.col("simhash"), F.col("q_sim")))
         .filter(F.col("h") <= max_hamming)
         .select(

@@ -93,21 +93,28 @@ class SearchIndex:
         return load_simprints(self.spark, self.cat.root)
 
     def search_similar(self, doc_id: int, k: int = 10) -> DataFrame:
-        """Multi-unit ISCC search (confidence-weighted Σs⁴/Σs) from the
+        """Multi-unit ISCC search (confidence-weighted Σs⁴/Σs): candidates
+        by keyed lookup from the persisted LSH band table, values from the
         persisted units table."""
+        from iscc_search_spark.operators.build import load_unit_bands
         from iscc_search_spark.operators.multiunit import search_assets_multiunit
 
-        return search_assets_multiunit(None, doc_id, k=k, units=self.units())
+        return search_assets_multiunit(
+            None, doc_id, k=k, units=self.units(),
+            bands=load_unit_bands(self.spark, self.cat.root),
+        )
 
     def search_granular(
         self, query_text: str, k: int = 10, max_hamming: int = 8
     ) -> DataFrame:
-        """Chunk-level simprint search from the persisted simprints table."""
+        """Chunk-level simprint search: candidates by keyed lookup from the
+        persisted simprint band table (exact recall for max_hamming <= 12)."""
+        from iscc_search_spark.operators.build import load_simprint_bands
         from iscc_search_spark.operators.simprints import granular_topk
 
         return granular_topk(
             None, query_text, k=k, max_hamming=max_hamming,
-            simprints=self.simprints(),
+            bands=load_simprint_bands(self.spark, self.cat.root),
         )
 
     # --- DDL / stats (S8) ----------------------------------------------------

@@ -96,6 +96,84 @@ def test_derived_tables_maintained_on_upsert_delete(spark, pages_df, built):
     )
 
 
+def test_band_lookup_matches_scan_filter(spark, pages_df, built):
+    """The persisted LSH band tables give the SAME results as the banded
+    scan filters (both admit every pair within the frozen thresholds)."""
+    from iscc_search_spark.operators.build import (
+        load_simprint_bands,
+        load_unit_bands,
+    )
+    from iscc_search_spark.operators.multiunit import search_assets_multiunit
+    from iscc_search_spark.operators.simprints import granular_topk
+
+    units = load_units(spark, built).localCheckpoint()
+    ub = load_unit_bands(spark, built)
+    qid = int(units.select("doc_id").orderBy("doc_id").first()["doc_id"])
+    scan = [
+        (r["doc_id"], r["score"], r["n_units"])
+        for r in search_assets_multiunit(None, qid, k=10, units=units)
+        .orderBy("rank").collect()
+    ]
+    lookup = [
+        (r["doc_id"], r["score"], r["n_units"])
+        for r in search_assets_multiunit(None, qid, k=10, units=units, bands=ub)
+        .orderBy("rank").collect()
+    ]
+    assert lookup == scan
+
+    sp = load_simprints(spark, built)
+    sb = load_simprint_bands(spark, built)
+    txt = pages_df.orderBy("url").first()["text"][:600]
+    g_scan = [
+        (r["doc_id"], r["score"]) for r in
+        granular_topk(None, txt, k=10, max_hamming=12, simprints=sp,
+                      n_bands=13).collect()
+    ]
+    g_lookup = [
+        (r["doc_id"], r["score"]) for r in
+        granular_topk(None, txt, k=10, max_hamming=12, bands=sb).collect()
+    ]
+    assert g_lookup == g_scan
+    with pytest.raises(ValueError):  # frozen banding bound is enforced
+        granular_topk(None, txt, max_hamming=13, bands=sb)
+
+
+def test_band_tables_maintained_on_upsert_delete(spark, pages_df, built):
+    from iscc_search_spark.operators.build import (
+        SEG_BANDS,
+        UNIT_BANDS,
+        load_simprint_bands,
+        load_unit_bands,
+    )
+    from iscc_search_spark.corpus import doc_id_for_url
+
+    url = pages_df.select("url").orderBy("url").first()["url"]
+    did = doc_id_for_url(url)
+    ub0 = load_unit_bands(spark, built)
+    n0 = ub0.count()  # materialize BEFORE the upsert replaces the files
+    assert ub0.filter(F.col("doc_id") == did).count() == 2 * UNIT_BANDS + 1
+    delta = spark.createDataFrame(
+        [(url, "completely different body now", "en")],
+        "url string, text string, lang string",
+    )
+    upsert_docs(spark, delta, built, cfg=CFG)
+    ub1 = load_unit_bands(spark, built)
+    assert ub1.count() == n0  # replaced, not duplicated
+    assert ub1.filter(F.col("doc_id") == did).count() == 2 * UNIT_BANDS + 1
+    delete_docs(spark, [url], built, cfg=CFG)
+    assert load_unit_bands(spark, built).filter(F.col("doc_id") == did).count() == 0
+    assert (
+        load_simprint_bands(spark, built).filter(F.col("doc_id") == did).count()
+        == 0
+    )
+    # per-segment fan-out is exactly SEG_BANDS rows per surviving segment
+    sb = load_simprint_bands(spark, built)
+    per_seg = (
+        sb.groupBy("doc_id", "seg_idx").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_seg] == [SEG_BANDS]
+
+
 # --- incremental stage B: shard granularity -----------------------------------
 
 
