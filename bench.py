@@ -189,13 +189,14 @@ def main() -> None:
                 simprints=sp, combo=2,
             ).collect(),
         )
-        for c in (1, 2):
-            extra[f"granular_candidate_fraction_combo{c}"] = round(
-                granular_candidate_fraction(
-                    sp, GRANULAR_QUERY_TEXT, max_hamming=12, combo=c
-                ),
-                4,
-            )
+        for h in (12, 7):  # gate threshold + serving-typical threshold
+            for c in (1, 2):
+                extra[f"granular_candidate_fraction_h{h}_combo{c}"] = round(
+                    granular_candidate_fraction(
+                        sp, GRANULAR_QUERY_TEXT, max_hamming=h, combo=c
+                    ),
+                    4,
+                )
 
         # 4) headline operators over the testdata tables
         for name in [

@@ -21,6 +21,15 @@ fingerprint columns), everything else is derived and re-creatable from it.
       simprints/part=N/       (doc_id, seg_idx, n_tokens, offset, size,
                               simhash) granular segment simprints, sorted
                               by simhash within each part
+      unit_bands/part=N/      (doc_id, band, key) LSH lookup rows sorted
+                              by (band, key) — candidate fetch is a keyed
+                              row-group-pruned read.  Storage trade: 35
+                              rows/doc (~0.6 KB) buys O(keys) candidate
+                              lookups instead of O(corpus) scan filters —
+                              the columnar analogue of the reference's
+                              per-type similarity index memory
+      simprint_bands/part=N/  (doc_id, seg_idx, simhash, band, key) —
+                              13 rows/segment, same layout/trade
       meta.json               (n_docs, avgdl, config, lineage)
       _checkpoints/           per-input-partition fingerprints (resumability)
       _metrics/               build lineage + throughput rows

@@ -387,6 +387,26 @@ FROM dfr, n"""
         queries[name] = _bm25_topk_q(q)
         oracles[name] = bm25_topk_sql(q)
 
+    # the SAME queries answered from the COMPRESSED INDEX (block-max WAND
+    # over FOR/varbyte posting blocks) against the SAME DuckDB oracle —
+    # the driver-visible proof that the full build→compress→prune→score
+    # pipeline is rank- AND score-identical, not just the relational path
+    def _bm25_wand_q(query: str, k: int = 10):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from iscc_search_spark.operators.wand import bm25_wand_topk
+
+            out = bm25_wand_topk(spark, _built_index(spark, sf_dir), query, k=k)
+            return out.withColumn("score", F.round("score", 6))
+
+        return run
+
+    for name, q in [
+        ("t1_bm25_wand_index_q1", Q1),
+        ("t1_bm25_wand_index_q4_partial_oov", Q4),
+    ]:
+        queries[name] = _bm25_wand_q(q)
+        oracles[name] = bm25_topk_sql(q)
+
     # --- score threshold predicate (P3) ------------------------------------
     def p3(spark, sf):
         docs = _t(spark, sf, "documents")

@@ -122,12 +122,17 @@ class SearchIndex:
     def stats(self) -> dict:
         docs = self.spark.read.parquet(self.cat.docs)
         postings = self.spark.read.parquet(self.cat.postings)
-        return {
+        out = {
             **self.meta,
             "n_docs": docs.count(),
             "n_posting_blocks": postings.count(),
             "n_terms": self.spark.read.parquet(self.cat.term_stats).count(),
         }
+        if self.cat.exists("units"):
+            out["n_units"] = self.units().count()
+        if self.cat.exists("simprints"):
+            out["n_simprints"] = self.simprints().count()
+        return out
 
 
 def drop_index(index_dir: str) -> None:

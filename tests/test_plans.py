@@ -108,3 +108,32 @@ def test_tf_agg_has_mapside_combine(spark):
     docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
     p = plan_of(doc_term_tf(docs))
     assert "partial_count" in p and "Exchange" in p
+
+
+def test_band_lookup_filter_is_pushed(spark, tmp_path):
+    """The unit-band candidate lookup reaches the parquet scan as pushed
+    (band, key) conjunctions — a keyed row-group-pruned read, not a
+    post-scan filter."""
+    from iscc_search_spark import corpus as corpus_mod
+    from iscc_search_spark.config import EngineConfig
+    from iscc_search_spark.operators.build import (
+        build_index,
+        load_unit_bands,
+        load_units,
+    )
+    from iscc_search_spark.operators.multiunit import search_assets_multiunit
+
+    p = str(tmp_path / "pp.parquet")
+    corpus_mod.write_pages(p, 60, seed=3)
+    pages = spark.read.parquet(p)
+    d = str(tmp_path / "idx")
+    build_index(spark, pages, d, cfg=EngineConfig(block_size=16),
+                n_parts=2, n_shards=2, group_size=2)
+    units = load_units(spark, d)
+    qid = int(units.select("doc_id").orderBy("doc_id").first()["doc_id"])
+    out = search_assets_multiunit(
+        None, qid, k=5, units=units, bands=load_unit_bands(spark, d)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [Or(" in plan or "PushedFilters: [And(" in plan
+    assert "EqualTo(band,0)" in plan
