@@ -299,6 +299,30 @@ def test_nphd_mixed_prune_matches_full_scan(spark, pages_df, built):
     assert got == want
 
 
+def test_lean_index_upsert_stays_lean(spark, pages_df, tmp_path):
+    """A postings-only (derived=False) index accepts incremental upserts
+    without growing similarity artifacts; search reflects the update."""
+    from iscc_search_spark.operators.wand import IndexReader, bm25_wand_topk_local
+
+    d = str(tmp_path / "lean")
+    build_index(spark, pages_df, d, cfg=CFG, n_parts=4, n_shards=4,
+                group_size=4, derived=False)
+    cat = IndexCatalog(d)
+    assert not cat.exists("units") and not cat.exists("simprints")
+    delta = spark.createDataFrame(
+        [("http://lean.test/x", "qqleanupsert body", "en")],
+        "url string, text string, lang string",
+    )
+    upsert_docs(spark, delta, d, cfg=CFG)
+    assert not cat.exists("units")  # stays lean
+    r = IndexReader(spark, d)
+    from iscc_search_spark.corpus import doc_id_for_url
+
+    assert list(bm25_wand_topk_local(r, "qqleanupsert")["doc_id"]) == [
+        doc_id_for_url("http://lean.test/x")
+    ]
+
+
 # --- combinatorial granular prune (exact recall, higher selectivity) -----------
 
 
