@@ -239,6 +239,51 @@ SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(cosine, 6) AS cosine FROM (
 ) WHERE rank <= {k}"""
 
 
+def _rph_neardup_oracle_sql(
+    threshold: float,
+    dim: int = 64,
+    n_planes: int = 64,
+    seed: int = 42,
+    n_bands: int = 16,
+) -> str:
+    """Embedding near-dup pairs oracle: the SAME seeded planes + banding as
+    ann.embedding_neardup_pairs (inlined literals, index-ordered folds),
+    then exact cosine >= threshold on the candidate pairs."""
+    from iscc_search_spark.operators.ann import rph_planes
+
+    planes = rph_planes(dim, n_planes, seed)
+
+    def fold(p: int) -> str:
+        lits = ", ".join(_d(float(planes[i, p])) for i in range(dim))
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]), (a, b) -> a + b)"
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN {fold(p)} > 0 THEN CAST('{2 ** (63 - p)}' AS HUGEINT) "
+        "ELSE CAST(0 AS HUGEINT) END)"
+        for p in range(n_planes)
+    )
+    width = n_planes // n_bands
+    band_eq = " OR ".join(
+        f"((l.us // CAST('{2 ** (width * b)}' AS HUGEINT)) % {2 ** width} = "
+        f"(r.us // CAST('{2 ** (width * b)}' AS HUGEINT)) % {2 ** width})"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, ({bits}) AS us FROM embeddings),
+cand AS (SELECT l.vec_id AS vec1, r.vec_id AS vec2
+         FROM sig l JOIN sig r ON l.vec_id < r.vec_id AND ({band_eq})),
+pr AS (SELECT c.vec1, c.vec2,
+              list_reduce(list_transform(range(1, {dim + 1}), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cosine
+       FROM cand c JOIN embeddings a ON a.vec_id = c.vec1
+                   JOIN embeddings b ON b.vec_id = c.vec2)
+SELECT vec1, vec2, round(cosine, 6) AS cosine FROM pr WHERE cosine >= {_d(threshold)}"""
+
+
 def _ordered_sum_sql(x: str) -> str:
     """Ordered float64 fold — bit-identical to Spark array_sort+aggregate."""
     return f"list_reduce(list({x} ORDER BY {x}), (a, b) -> a + b)"
@@ -534,6 +579,22 @@ SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(cosine, 6) AS cosine FROM (
     # Spark UDF accumulates in ascending dim order, not BLAS), so signature
     # bits, band candidates and the exact rerank agree bit-for-bit
     oracles["ann_rph_lsh_topk"] = _rph_lsh_oracle_sql(ANN_QUERY_ID)
+
+    # --- embedding-cosine near-dup pairs (the dedup family's 4th member) ---
+    # LSH-candidate self-join + exact cosine verify; the oracle mirrors the
+    # seeded planes and banding, so candidate set AND values match exactly
+    NEARDUP_COS = 0.45
+
+    def emb_nd(spark, sf):
+        from iscc_search_spark.operators.ann import embedding_neardup_pairs
+
+        out = embedding_neardup_pairs(
+            _t(spark, sf, "embeddings"), threshold=NEARDUP_COS, dim=64
+        )
+        return out.withColumn("cosine", F.round("cosine", 6))
+
+    queries["dedup_embedding_cosine"] = emb_nd
+    oracles["dedup_embedding_cosine"] = _rph_neardup_oracle_sql(NEARDUP_COS)
 
     # --- IVF-Flat ANN: coarse quantizer + probed-cell exact rerank ----------
     # the seeded centroid matrix is inlined as literals (like the RPH

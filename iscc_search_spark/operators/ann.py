@@ -101,6 +101,69 @@ def rph_signature_udf(dim: int, n_planes: int = 64, seed: int = 42):
     return sig
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(vec1, vec2, cosine) near-duplicate pairs by embedding cosine —
+    the embedding member of the dedup family (exact hash / minhash /
+    simhash / embedding): banded random-hyperplane signatures propose
+    candidate pairs (LSH self-join — never an all-pairs scan), an
+    index-ordered exact cosine verifies them against ``threshold``.
+
+    Candidate recall is the LSH's (no pigeonhole bound exists for cosine);
+    the DuckDB oracle mirrors the same seeded planes + banding, so the
+    operator is value-checkable end to end (same discipline as
+    rph_ann_topk)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    sig = rph_signature_udf(dim, 64, seed)
+    with_sig = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        sig(vec_col).alias("s"),
+    )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = None
+    for b in range(n_bands):
+        x = with_sig.select(
+            "vec_id",
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("s", b * width).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        bands = x if bands is None else bands.unionByName(x)
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec1"), F.col("r.vec_id").alias("vec2"))
+        .distinct()
+    )
+    v = with_sig.select("vec_id", "v")
+    return (
+        cand.join(v.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1")), "vec1")
+        .join(v.select(F.col("vec_id").alias("vec2"), F.col("v").alias("v2")), "vec2")
+        .select(
+            "vec1",
+            "vec2",
+            (
+                _dot_expr(F.col("v1"), F.col("v2"))
+                / (_norm_expr(F.col("v1")) * _norm_expr(F.col("v2")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 # --- IVF-Flat: coarse quantizer + probed-cell exact rerank --------------------
 # The classic inverted-file ANN (the scale path beside LSH): k-means cell
 # centroids partition the vector space; each vector is stored under its
