@@ -52,15 +52,18 @@ BM25 = BM25Config()
 K1, B = BM25.k1, BM25.b
 
 # fixed reference queries against the testdata `documents` vocabulary
-# fixed 64-token granular query (2 segments) over the testdata vocabulary —
-# shared by the a7 gate and the bench's candidate-fraction measurement
+# fixed 64-token granular query (2 segments): the first window is doc 1's
+# tokens [0:32) verbatim (an exact segment match, hamming 0), the second
+# its tokens [32:64) with two substitutions (a near-match at small
+# hamming) — so the a7 gate exercises both exact and approximate granular
+# hits with a non-empty result (the same fixed-doc convention as MLT_DOC)
 GRANULAR_QUERY_TEXT = (
-    "batch dup scan merge window sort query data spark filter "
-    "hash join stream value column row table big small slow fast "
-    "the a key order line part customer vector agg dup batch scan "
-    "merge window sort query data spark filter hash join stream value "
-    "column row table big small slow fast the a key order line part "
-    "customer vector agg dup batch"
+    "batch window spark order data column agg join small line customer "
+    "query line value a table customer fast key scan query big table "
+    "table part agg order scan stream fast order group value sort column "
+    "query big slow value customer stream window stream sort query line "
+    "window batch customer join merge value dup part filter query key "
+    "scan sort a scan spark fast sort"
 )
 
 Q1 = "batch dup"            # common + rare
@@ -1136,27 +1139,43 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(nphd, 6) AS nphd,
     from iscc_search_spark.operators.simprints import segment_simhashes_py
 
     qsegs = segment_simhashes_py(GRANULAR_QUERY)
-    qvals = ", ".join(f"({s}, CAST({h} AS BIGINT))" for s, _, _, _, h in qsegs)
+    qvals = ", ".join(
+        f"({s}, CAST({hi} AS BIGINT), CAST({lo} AS BIGINT))"
+        for s, _, _, _, hi, lo in qsegs
+    )
+    # 128-bit segment simhash over the window's BIGRAM-shingle features
+    # (textnorm.seg_features_py: space-joined adjacent token pairs, bare
+    # token for a 1-token window); ALL 32 md5 hex nibbles (hi limb =
+    # nibbles 1..16, lo limb = 17..32), mirroring
+    # functions/simhash.py:simhash128_batch
     seg_sh_cte = f"""
 WITH base AS (SELECT doc_id, {ARR} AS arr FROM documents),
 segs AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(arr) / 32.0) AS INT))) AS seg_idx, arr FROM base),
-st AS (SELECT doc_id, seg_idx, unnest(arr[seg_idx * 32 + 1 : (seg_idx + 1) * 32]) AS term FROM segs),
+wb AS (SELECT doc_id, seg_idx, arr, CAST(seg_idx * 32 + 1 AS BIGINT) AS lo,
+              least(CAST((seg_idx + 1) * 32 AS BIGINT), len(arr)) AS hi FROM segs),
+st AS (SELECT doc_id, seg_idx,
+              CASE WHEN hi > lo THEN arr[CAST(j AS INT)] || ' ' || arr[CAST(j AS INT) + 1]
+                   ELSE arr[CAST(j AS INT)] END AS term
+       FROM wb, LATERAL unnest(range(lo, greatest(hi, lo + 1))) AS u(j)),
 tf AS (SELECT doc_id, seg_idx, term, CAST(count(*) AS BIGINT) AS tf FROM st GROUP BY doc_id, seg_idx, term),
 th AS (SELECT doc_id, seg_idx, tf, md5(term) AS h FROM tf),
 bb AS (SELECT doc_id, seg_idx, i,
               sum(tf * (2 * (((strpos('0123456789abcdef', h[(i // 4) + 1]) - 1) >> (3 - (i % 4))) & 1) - 1)) AS v
-       FROM th, (SELECT unnest(range(0, 64)) AS i) bits
+       FROM th, (SELECT unnest(range(0, 128)) AS i) bits
        GROUP BY doc_id, seg_idx, i),
 ssh AS (SELECT doc_id, seg_idx,
                CAST(sum(CASE WHEN i = 0 AND v > 0 THEN CAST(-9223372036854775808 AS HUGEINT)
-                             WHEN i > 0 AND v > 0 THEN CAST(CAST(1 AS BIGINT) << (63 - i) AS HUGEINT)
-                             ELSE 0 END) AS BIGINT) AS simhash
+                             WHEN i > 0 AND i < 64 AND v > 0 THEN CAST(CAST(1 AS BIGINT) << (63 - i) AS HUGEINT)
+                             ELSE 0 END) AS BIGINT) AS sh_hi,
+               CAST(sum(CASE WHEN i = 64 AND v > 0 THEN CAST(-9223372036854775808 AS HUGEINT)
+                             WHEN i > 64 AND v > 0 THEN CAST(CAST(1 AS BIGINT) << (127 - i) AS HUGEINT)
+                             ELSE 0 END) AS BIGINT) AS sh_lo
         FROM bb GROUP BY doc_id, seg_idx)"""
     oracles["a7_granular_simprint_search"] = f"""{seg_sh_cte},
-q AS (SELECT * FROM (VALUES {qvals}) q(q_seg, q_sim)),
+q AS (SELECT * FROM (VALUES {qvals}) q(q_seg, q_hi, q_lo)),
 m AS (SELECT doc_id, q_seg,
-             max({_d(1.0)} - CAST(bit_count(xor(simhash, q_sim)) AS DOUBLE) / {_d(64.0)}) AS best
-      FROM ssh JOIN q ON bit_count(xor(simhash, q_sim)) <= 12
+             max({_d(1.0)} - CAST(bit_count(xor(sh_hi, q_hi)) + bit_count(xor(sh_lo, q_lo)) AS DOUBLE) / {_d(128.0)}) AS best
+      FROM ssh JOIN q ON bit_count(xor(sh_hi, q_hi)) + bit_count(xor(sh_lo, q_lo)) <= 12
       GROUP BY doc_id, q_seg),
 sc AS (SELECT doc_id, sum(best) / {_d(float(len(qsegs)))} AS score,
               CAST(count(*) AS BIGINT) AS n_matched_segs

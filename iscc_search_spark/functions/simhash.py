@@ -189,6 +189,119 @@ def simhash_unweighted_batch(
     return out
 
 
+# --- 128-bit variant (granular segment simprints) ---------------------------
+# The reference's simprint vectors are 128-bit binary hamming vectors
+# (iscc_search/indexes/simprint/usearch_core.py:49 ndim=128 default, b1
+# hamming metric).  The 128-bit simhash takes ALL 16 md5 bytes per term:
+# the HIGH limb uses bytes [0:8) — bit-identical to the 64-bit simhash —
+# and the LOW limb bytes [8:16).  Wider hashes concentrate the relative
+# hamming distance of similar pairs (std ~ 1/sqrt(bits)), so absolute
+# thresholds like max_hamming=12 become far more selective at equal recall
+# for near-identical segments.
+
+
+def term_hash128(term: str) -> tuple[int, int]:
+    """(hi, lo) uint64 limbs of md5(term); hi == term_hash64(term)."""
+    d = hashlib.md5(term.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big")
+
+
+def simhash128_from_tf(
+    terms: list[str] | np.ndarray, tfs: np.ndarray
+) -> tuple[int, int]:
+    """Single-doc 128-bit simhash -> (hi, lo) signed int64 limbs (oracle
+    path); hi is bit-identical to simhash_from_tf."""
+    if len(terms) == 0:
+        return 0, 0
+    hs = np.array([term_hash128(t) for t in terms], dtype=np.uint64)
+    tf = np.asarray(tfs, dtype=np.int64)
+    out = []
+    for limb in range(2):
+        bits = ((hs[:, limb][:, None] >> _BITPOS[None, :]) & _U1).astype(np.int64)
+        v = ((2 * bits - 1) * tf[:, None]).sum(axis=0)
+        out.append(_pack_bits(v > 0))
+    return out[0], out[1]
+
+
+def _hash_terms_flat128(sub_terms: list[np.ndarray], total: int) -> np.ndarray:
+    """(total, 2) uint64 md5 limbs per flat term — ONE md5 per unique
+    string (factorized batch), both limbs from the same digest."""
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for tl in sub_terms:
+        flat[pos : pos + len(tl)] = tl
+        pos += len(tl)
+    codes, uniq = pd.factorize(flat)
+    md5 = hashlib.md5
+    hashed = np.empty((len(uniq), 2), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        d = md5(t.encode("utf-8")).digest()
+        hashed[i, 0] = int.from_bytes(d[:8], "big")
+        hashed[i, 1] = int.from_bytes(d[8:16], "big")
+    return hashed[codes]
+
+
+def simhash128_batch(
+    term_lists: list[np.ndarray],
+    tf_lists: list[np.ndarray],
+    chunk_docs: int = 256,
+) -> np.ndarray:
+    """Vectorized 128-bit simhash for a batch of docs -> (n, 2) int64
+    array of (hi, lo) limbs; hi is bit-identical to simhash_batch.  Same
+    chunked dense-matmul kernel (the bit matrix is 128 wide instead of
+    64, still ~20 MB per chunk)."""
+    n = len(term_lists)
+    out = np.zeros((n, 2), dtype=np.int64)
+    for start in range(0, n, chunk_docs):
+        end = min(start + chunk_docs, n)
+        sub_terms = term_lists[start:end]
+        sub_tfs = tf_lists[start:end]
+        m = end - start
+        counts = np.array([len(t) for t in sub_terms], dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        flat_hash = _hash_terms_flat128(sub_terms, total)
+        flat_tfs = np.concatenate(
+            [np.asarray(t, dtype=np.int64) for t in sub_tfs]
+        ).astype(np.float32)
+        # unique over the (hi, lo) pair — view the 2-limb rows as void rows
+        uniq, inv = np.unique(
+            np.ascontiguousarray(flat_hash).view([("hi", "u8"), ("lo", "u8")]),
+            return_inverse=True,
+        )
+        inv = inv.ravel()
+        bits = np.concatenate(
+            [
+                ((uniq["hi"][:, None] >> _BITPOS[None, :]) & _U1),
+                ((uniq["lo"][:, None] >> _BITPOS[None, :]) & _U1),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        T_ = np.zeros((m, len(uniq)), dtype=np.float32)
+        row_idx = np.repeat(np.arange(m), counts)
+        flat_key = row_idx * len(uniq) + inv
+        if len(np.unique(flat_key)) == total:
+            T_[row_idx, inv] = flat_tfs
+        else:
+            np.add.at(T_, (row_idx, inv), flat_tfs)
+        S = T_ @ bits  # (docs, 128)
+        doc_len = np.array(
+            [np.asarray(t, dtype=np.int64).sum() for t in sub_tfs],
+            dtype=np.float32,
+        )
+        v = 2.0 * S - doc_len[:, None]
+        pos_bits = v > 0
+        for limb in range(2):
+            packed = (
+                pos_bits[:, limb * 64 : (limb + 1) * 64].astype(np.uint64)
+                << _BITPOS[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            nonempty = counts > 0
+            out[start:end, limb][nonempty] = packed.view(np.int64)[nonempty]
+    return out
+
+
 @F.pandas_udf(T.LongType())
 def simhash_udf(terms: pd.Series, tfs: pd.Series) -> pd.Series:
     """Arrow-batched simhash over (array<string> terms, array<long> tfs)."""
@@ -207,3 +320,16 @@ def hamming_expr(a, b):
 def neardup_score_expr(a, b):
     """1 - hamming/64, mirroring the reference's 1 - d/ndim similarity."""
     return F.lit(1.0) - hamming_expr(a, b).cast("double") / F.lit(64.0)
+
+
+def hamming128_expr(a_hi, a_lo, b_hi, b_lo):
+    """JVM-side hamming distance between two (hi, lo) 128-bit columns."""
+    return hamming_expr(a_hi, b_hi) + hamming_expr(a_lo, b_lo)
+
+
+def neardup_score128_expr(a_hi, a_lo, b_hi, b_lo):
+    """1 - hamming/128 over (hi, lo) limb pairs (ndim=128, the reference
+    simprint default)."""
+    return F.lit(1.0) - hamming128_expr(a_hi, a_lo, b_hi, b_lo).cast(
+        "double"
+    ) / F.lit(128.0)

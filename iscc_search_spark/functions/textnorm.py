@@ -136,6 +136,9 @@ def token_spans_py(text: str) -> tuple[list[str], list[tuple[int, int]]]:
 # ships through the stage-B shuffle as compact bytes
 SEG_TOKENS = 32  # granular simprint window (tokens per segment)
 
+# segment simprints are 128-bit (the reference's ndim=128 hamming vectors,
+# usearch_core.py:49): ``simhash`` is the HIGH limb (bit-identical to the
+# 64-bit simhash — both take md5 bytes [0:8)), ``sh_lo`` the low limb
 SEG_STRUCT = T.StructType(
     [
         T.StructField("seg_idx", T.IntegerType()),
@@ -143,6 +146,7 @@ SEG_STRUCT = T.StructType(
         T.StructField("offset", T.IntegerType()),
         T.StructField("size", T.IntegerType()),
         T.StructField("simhash", T.LongType()),
+        T.StructField("sh_lo", T.LongType()),
     ]
 )
 
@@ -265,12 +269,28 @@ def _shingle_sets(doc_tokens: list[list[str]]):
     return out
 
 
+def seg_features_py(window: list[str]) -> list[str]:
+    """FROZEN segment simprint feature set: within-window word bigrams
+    (space-joined adjacent token pairs, with multiplicity); a 1-token
+    window falls back to the bare token.  Shingle features (w-shingling)
+    make unrelated segments near-independent 128-bit hashes even over a
+    tiny vocabulary — an order-free unigram bag collapses to the
+    vocabulary's tf profile and clusters (round-3 measured 0.79-0.90
+    candidate fraction at max_hamming=12) — while near-identical windows
+    still share almost all bigrams.  Mirrors the upstream ISCC content
+    codes, which simhash n-gram features of the text, not unigram bags."""
+    if len(window) < 2:
+        return list(window)
+    return [window[i] + " " + window[i + 1] for i in range(len(window) - 1)]
+
+
 def _segments_batch(doc_tokens, doc_spans, seg_tokens: int = SEG_TOKENS):
-    """Per-doc [(seg_idx, n_tokens, offset, size, simhash)] — fixed
-    ``seg_tokens`` token windows, simhashed with the SAME whole-batch
-    grouping + kernel as documents (all windows of the Arrow batch are
-    flattened and hashed in one vectorized pass)."""
-    from iscc_search_spark.functions.simhash import simhash_batch
+    """Per-doc [(seg_idx, n_tokens, offset, size, simhash, sh_lo)] — fixed
+    ``seg_tokens`` token windows, bigram-shingle features, 128-bit
+    simhashed with the SAME whole-batch grouping + kernel as documents
+    (all windows of the Arrow batch are flattened and hashed in one
+    vectorized pass)."""
+    from iscc_search_spark.functions.simhash import simhash128_batch
 
     seg_lists: list[list[str]] = []
     counts: list[int] = []
@@ -284,17 +304,17 @@ def _segments_batch(doc_tokens, doc_spans, seg_tokens: int = SEG_TOKENS):
             metas.append(
                 (i // seg_tokens, len(window), start_b, spans[end_t][1] - start_b)
             )
-            seg_lists.append(window)
+            seg_lists.append(seg_features_py(window))
             n += 1
         counts.append(n)
     if not seg_lists:
         return [[] for _ in doc_tokens]
     terms_out, tfs_out, _, _ = _group_tokens_batch(seg_lists)
-    hashes = simhash_batch(terms_out, tfs_out)
+    hashes = simhash128_batch(terms_out, tfs_out)
     out, k = [], 0
     for c in counts:
         out.append(
-            [(m[0], m[1], m[2], m[3], int(h))
+            [(m[0], m[1], m[2], m[3], int(h[0]), int(h[1]))
              for m, h in zip(metas[k : k + c], hashes[k : k + c])]
         )
         k += c

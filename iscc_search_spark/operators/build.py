@@ -80,7 +80,9 @@ POSTINGS_SCHEMA = (
 
 # frozen band counts of the persisted LSH lookup tables (stage C):
 # 17 unit bands <=> lossless for the 0.75 unit-confidence threshold
-# (hamming <= 16); 13 simprint bands <=> lossless for max_hamming <= 12
+# (hamming <= 16); 13 simprint bands over the 128-bit segment simprints
+# <=> lossless for max_hamming <= 12 at ~10-bit keys (the 64-bit hash
+# gave ~5-bit keys — a 0.79-0.90 measured candidate fraction at h=12)
 UNIT_BANDS = 17
 SEG_BANDS = 13
 
@@ -429,6 +431,7 @@ def build_derived(
         F.col("s.offset").alias("offset"),
         F.col("s.size").alias("size"),
         F.col("s.simhash").alias("simhash"),
+        F.col("s.sh_lo").alias("sh_lo"),
     )
     (
         sp.repartitionByRange(n, "part")
@@ -485,12 +488,23 @@ def build_derived(
         .parquet(cat.unit_bands)
     )
 
-    seg_entries = band_entries(F.col("simhash"), SEG_BANDS, 0)
+    # segment simprints are 128-bit: band keys slice the (hi, lo) limb
+    # pair into SEG_BANDS ~10-bit windows (band_key128_expr handles the
+    # limb-spanning slices) — same one-scan explode shape
+    from iscc_search_spark.operators.simprints import SIMPRINT_BITS, band_key128_expr
+
+    seg_entries = [
+        F.struct(
+            F.lit(i).alias("band"),
+            band_key128_expr("simhash", "sh_lo", shift, w).alias("key"),
+        )
+        for i, (shift, w) in enumerate(band_widths(SEG_BANDS, SIMPRINT_BITS))
+    ]
     sb = sp.select(
-        "part", "doc_id", "seg_idx", "simhash",
+        "part", "doc_id", "seg_idx", "simhash", "sh_lo",
         F.explode(F.array(*seg_entries)).alias("e"),
     ).select(
-        "part", "doc_id", "seg_idx", "simhash",
+        "part", "doc_id", "seg_idx", "simhash", "sh_lo",
         F.col("e.band").alias("band"), F.col("e.key").alias("key"),
     )
     (
@@ -511,10 +525,11 @@ def load_units(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def load_simprints(spark: SparkSession, index_dir: str) -> DataFrame:
-    """(doc_id, seg_idx, n_tokens, offset, size, simhash) persisted."""
+    """(doc_id, seg_idx, n_tokens, offset, size, simhash, sh_lo)
+    persisted — simhash/sh_lo are the 128-bit simprint's limbs."""
     cat = IndexCatalog(index_dir)
     return spark.read.parquet(cat.simprints).select(
-        "doc_id", "seg_idx", "n_tokens", "offset", "size", "simhash"
+        "doc_id", "seg_idx", "n_tokens", "offset", "size", "simhash", "sh_lo"
     )
 
 
@@ -526,10 +541,11 @@ def load_unit_bands(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def load_simprint_bands(spark: SparkSession, index_dir: str) -> DataFrame:
-    """(doc_id, seg_idx, simhash, band, key) LSH lookup rows (13 bands)."""
+    """(doc_id, seg_idx, simhash, sh_lo, band, key) LSH lookup rows
+    (13 ~10-bit bands over the 128-bit simprint)."""
     cat = IndexCatalog(index_dir)
     return spark.read.parquet(cat.simprint_bands).select(
-        "doc_id", "seg_idx", "simhash", "band", "key"
+        "doc_id", "seg_idx", "simhash", "sh_lo", "band", "key"
     )
 
 

@@ -1,37 +1,40 @@
 """Chunk-level (granular) search — the reference's second query family.
 
-The reference indexes per-segment "simprints" (headerless simhashes with
-offset/size) and answers: given a query's segment simprints, which assets
-contain matching segments, scored by IDF/coverage weighting
+The reference indexes per-segment "simprints" (headerless 128-bit binary
+hamming vectors with offset/size — ndim=128 default,
+iscc_search/indexes/simprint/usearch_core.py:49-83 composite keys +
+hamming metric) and answers: given a query's segment simprints, which
+assets contain matching segments, scored by coverage weighting
 (iscc_search/indexes/simprint/lmdb_ops.py:253-301 exact search,
 usearch_core.py:171-236 approx search).  Spark-first re-expression:
 
 - documents are segmented into fixed ``seg_tokens`` token windows; each
-  window gets the same 64-bit simhash as whole docs (functions/simhash.py)
-  -> a ``simprints`` table (doc_id, seg_idx, n_tokens, offset, size,
-  simhash) — (offset, size) is the BYTE span of the segment in the
-  canonical (NFC-normalized, lowercased) text, the analogue of the
-  reference's IsccChunk pointer (schema.py:260-320);
+  window gets a 128-bit simhash (functions/simhash.py:simhash128_batch)
+  stored as two int64 limbs -> a ``simprints`` table (doc_id, seg_idx,
+  n_tokens, offset, size, simhash=hi, sh_lo) — (offset, size) is the BYTE
+  span of the segment in the canonical (NFC-normalized, lowercased) text,
+  the analogue of the reference's IsccChunk pointer (schema.py:260-320);
 - a query text is segmented identically; candidate (doc_seg, query_seg)
-  pairs come from a banded-LSH equi-join — the 64-bit simhash is cut into
-  ``n_bands`` near-equal bit slices and pairs sharing any (band, key)
-  are candidates.  With n_bands > max_hamming the pigeonhole principle
-  makes recall EXACT (a pair within max_hamming differs in fewer bands
-  than exist), so the prune is invisible to correctness while scanning
-  only hash-colliding segments instead of the whole simprints table;
+  pairs come from a banded-LSH equi-join — the 128-bit simhash is cut
+  into ``n_bands`` near-equal bit slices and pairs sharing any
+  (band, key) are candidates.  With n_bands > max_hamming the pigeonhole
+  principle makes recall EXACT (a pair within max_hamming differs in
+  fewer bands than exist), so the prune is invisible to correctness while
+  scanning only hash-colliding segments instead of the whole table;
 - scoring (frozen, oracle-verified): per (doc, query_seg) keep the BEST
-  similarity 1 - hamming/64 (A1 max-combine), then
+  similarity 1 - hamming/128 (A1 max-combine), then
       score(doc) = sum over query segs of best_sim / n_query_segs
   — unmatched query segments contribute 0, the coverage penalty of the
   reference's A7 (usearch_core.py:220-236).  All sims are multiples of
-  1/64 (dyadic), so sums are EXACT in float64 regardless of order.
+  1/128 (dyadic), so sums are EXACT in float64 regardless of order.
 
-Scale note: at max_hamming=12 the 13 required bands are ~5 bits wide, so
-the expected candidate fraction is ~n_bands/2^width ≈ 40% of a full scan —
-a modest prune; at serving-typical thresholds (<=7, 8-bit bands) it is
-~3%.  Selectivity improves exponentially as the threshold tightens; the
-shape (equi-join on (band, key), hamming verify JVM-side) is the same one
-the near-dup self-join uses and never degenerates to an all-pairs scan.
+Scale note: at max_hamming=12 the 13 required bands over 128 bits are
+~10 bits wide, so the random-collision candidate fraction is
+~n_bands/2^10 ≈ 1.3% of a full scan (vs ~40% when the same 13 bands cut
+a 64-bit hash — the round-3 measured scale gap).  The wider hash also
+CONCENTRATES the relative hamming of truly-similar pairs (std of the
+relative distance ~ 1/sqrt(bits)), so absolute thresholds separate
+near-identical segments from vocabulary-clustered noise far better.
 """
 
 from __future__ import annotations
@@ -42,20 +45,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from iscc_search_spark.functions.simhash import (
-    hamming_expr,
-    neardup_score_expr,
-    simhash_batch,
+    hamming128_expr,
+    neardup_score128_expr,
+    simhash128_batch,
 )
-from iscc_search_spark.functions.textnorm import SEG_TOKENS, token_spans_py
+from iscc_search_spark.functions.textnorm import (
+    SEG_TOKENS,
+    seg_features_py,
+    token_spans_py,
+)
 
 _token_spans = token_spans_py  # query-side tokenizer (shared with stage A)
+
+SIMPRINT_BITS = 128
+_U64 = (1 << 64) - 1
 
 
 def segment_simhashes_py(
     text: str, seg_tokens: int = SEG_TOKENS
-) -> list[tuple[int, int, int, int, int]]:
-    """[(seg_idx, n_tokens, offset, size, simhash)] for one text
-    (driver/oracle path; offset/size are byte spans in the canonical text)."""
+) -> list[tuple[int, int, int, int, int, int]]:
+    """[(seg_idx, n_tokens, offset, size, sh_hi, sh_lo)] for one text
+    (driver/oracle path; offset/size are byte spans in the canonical
+    text; (sh_hi, sh_lo) are the signed int64 limbs of the 128-bit
+    segment simhash over the window's bigram-shingle features,
+    textnorm.seg_features_py)."""
     import numpy as np
 
     toks, spans = _token_spans(text)
@@ -68,7 +81,7 @@ def segment_simhashes_py(
             break
         from collections import Counter
 
-        c = Counter(window)
+        c = Counter(seg_features_py(window))
         ts = sorted(c)
         terms_l.append(np.array(ts, dtype=object))
         tfs_l.append(np.array([c[t] for t in ts], dtype=np.int64))
@@ -77,8 +90,11 @@ def segment_simhashes_py(
         metas.append((i // seg_tokens, len(window), start_b, end_b - start_b))
     if not metas:
         return []
-    hashes = simhash_batch(terms_l, tfs_l)
-    return [(s, n, o, z, int(h)) for (s, n, o, z), h in zip(metas, hashes)]
+    hashes = simhash128_batch(terms_l, tfs_l)
+    return [
+        (s, n, o, z, int(h[0]), int(h[1]))
+        for (s, n, o, z), h in zip(metas, hashes)
+    ]
 
 
 _SEG_SCHEMA = T.ArrayType(
@@ -89,6 +105,7 @@ _SEG_SCHEMA = T.ArrayType(
             T.StructField("offset", T.IntegerType()),
             T.StructField("size", T.IntegerType()),
             T.StructField("simhash", T.LongType()),
+            T.StructField("sh_lo", T.LongType()),
         ]
     )
 )
@@ -110,7 +127,8 @@ def simprints_table(
     id_col: str = "doc_id",
     seg_tokens: int = SEG_TOKENS,
 ) -> DataFrame:
-    """(doc_id, seg_idx, n_tokens, offset, size, simhash) per segment."""
+    """(doc_id, seg_idx, n_tokens, offset, size, simhash, sh_lo) per
+    segment — simhash is the high limb of the 128-bit segment simprint."""
     segs = _segments_udf(seg_tokens)
     return (
         docs.select(F.col(id_col).alias("doc_id"), segs(text_col).alias("ss"))
@@ -122,6 +140,7 @@ def simprints_table(
             F.col("s.offset").alias("offset"),
             F.col("s.size").alias("size"),
             F.col("s.simhash").alias("simhash"),
+            F.col("s.sh_lo").alias("sh_lo"),
         )
     )
 
@@ -137,70 +156,125 @@ def band_widths(n_bands: int, bits: int = 64) -> list[tuple[int, int]]:
     return out
 
 
+# --- 128-bit band keys over (hi, lo) limb pairs ------------------------------
+# Bit numbering: value = (hi << 64) | lo, shifts count from the LSB of lo.
+# Bands wider than 63 bits (degenerate n_bands<=2 configs) key on the
+# SIGNED low-64-bit window of the shifted value — a lossy-but-safe wrap
+# (key collisions only ADD candidates; the exact hamming verify filters),
+# mirrored bit-for-bit between the JVM exprs and the Python query side.
+
+
+def band_key128_py(hi: int, lo: int, shift: int, w: int) -> int:
+    """Signed-int64 band key for the (shift, w) slice of a 128-bit value
+    given as signed limbs — the Python mirror of band_key128_expr."""
+    v = ((hi & _U64) << 64) | (lo & _U64)
+    key = (v >> shift) & ((1 << min(w, 64)) - 1)
+    return key - (1 << 64) if key >= (1 << 63) else key
+
+
+def band_key128_expr(hi, lo, shift: int, w: int):
+    """JVM band-key expression over (hi, lo) long columns; exact mirror of
+    band_key128_py for every (shift, w), including limb-spanning slices
+    and degenerate >=64-bit windows."""
+    chi = F.col(hi) if isinstance(hi, str) else hi
+    clo = F.col(lo) if isinstance(lo, str) else lo
+    if w >= 64:
+        # full signed 64-bit window [shift, shift+64) — no mask literal
+        # (a 64-bit mask overflows LongType); wrap is safe (see above)
+        if shift == 0:
+            return clo
+        if shift >= 64:
+            return F.shiftrightunsigned(chi, shift - 64)
+        return F.shiftrightunsigned(clo, shift).bitwiseOR(
+            F.shiftleft(chi, 64 - shift)
+        )
+    mask = F.lit((1 << w) - 1)
+    if shift + w <= 64:
+        return F.shiftrightunsigned(clo, shift).bitwiseAND(mask)
+    if shift >= 64:
+        return F.shiftrightunsigned(chi, shift - 64).bitwiseAND(mask)
+    return (
+        F.shiftrightunsigned(clo, shift)
+        .bitwiseOR(F.shiftleft(chi, 64 - shift))
+        .bitwiseAND(mask)
+    )
+
+
 def _band_combos(n_bands: int, combo: int) -> list[tuple[int, ...]]:
     from itertools import combinations
 
     return list(combinations(range(n_bands), combo))
 
 
-def _combo_key_py(h: int, widths, idxs) -> int:
-    if len(idxs) == 1 and widths[idxs[0]][1] >= 64:
-        return h  # full-width band: the SIGNED value (mirrors the expr)
-    uh = h & ((1 << 64) - 1)
+def _combo_key_py(hi: int, lo: int, widths, idxs) -> int:
+    """Concatenated signed-int64 key of the selected bands.  Accumulation
+    mirrors the JVM expr exactly — shiftleft amounts mod 64 and 64-bit
+    two's-complement wrap — so combos whose total width reaches or
+    exceeds 64 bits stay join-consistent (wrap only ADDS candidates;
+    exact hamming verification filters)."""
+    if len(idxs) == 1:
+        shift, w = widths[idxs[0]]
+        return band_key128_py(hi, lo, shift, w)
     key = 0
     for bi in idxs:
         shift, w = widths[bi]
-        key = (key << w) | ((uh >> shift) & ((1 << w) - 1))
-    return key
+        piece = band_key128_py(hi, lo, shift, w) & _U64
+        key = ((key << (w & 63)) & _U64) | piece
+    return key - (1 << 64) if key >= (1 << 63) else key
 
 
-def _combo_key_expr(col, widths, idxs):
+def _combo_key_expr(hi, lo, widths, idxs):
+    if len(idxs) == 1:
+        shift, w = widths[idxs[0]]
+        return band_key128_expr(hi, lo, shift, w)
     key = None
     for bi in idxs:
         shift, w = widths[bi]
-        if w >= 64:  # full-width single band -> the value itself
-            return F.col(col) if isinstance(col, str) else col
-        s = F.shiftrightunsigned(col, shift).bitwiseAND(F.lit((1 << w) - 1))
-        key = s if key is None else F.shiftleft(key, w).bitwiseOR(s)
+        piece = band_key128_expr(hi, lo, shift, w)
+        key = piece if key is None else F.shiftleft(key, w).bitwiseOR(piece)
     return key
 
 
 def _banded_candidates(
     simprints: DataFrame, qsegs, n_bands: int, combo: int
 ) -> DataFrame:
-    """(doc_id, seg_idx, simhash, q_seg, q_sim) candidate pairs sharing at
-    least one ``combo``-band key.
+    """(doc_id, seg_idx, simhash, sh_lo, q_seg, q_hi, q_lo) candidate
+    pairs sharing at least one ``combo``-band key.
 
     combo=1 is classic LSH banding (exact recall iff hamming < n_bands);
     combo=c keys on every c-subset of bands: a pair within hamming h has
     >= n_bands - h clean bands, so recall is exact iff
     n_bands - max_hamming >= c while each key carries c bands' bits —
     exponentially more selective at high thresholds (the multi-piece
-    pigeonhole generalization).  ONE scan of the simprints table: keys are
-    generated by a JVM explode of C(n_bands, combo) struct literals, never
-    a per-combo re-scan; a full-width band (n_bands=1) keys on the SIGNED
-    hash itself (a 64-bit mask literal would overflow LongType)."""
+    pigeonhole generalization).  ONE scan of the simprints table: keys
+    are generated by a JVM explode of C(n_bands, combo) struct literals,
+    never a per-combo re-scan."""
     spark = simprints.sparkSession
-    widths = band_widths(n_bands)
+    widths = band_widths(n_bands, SIMPRINT_BITS)
     combos = _band_combos(n_bands, combo)
 
     q_rows = []
-    for s, _, _, _, h in qsegs:
+    for s, _, _, _, hi, lo in qsegs:
         for cid, idxs in enumerate(combos):
-            q_rows.append((cid, _combo_key_py(h, widths, idxs), s, h))
-    q = spark.createDataFrame(q_rows, "band int, key long, q_seg int, q_sim long")
+            q_rows.append((cid, _combo_key_py(hi, lo, widths, idxs), s, hi, lo))
+    q = spark.createDataFrame(
+        q_rows, "band int, key long, q_seg int, q_hi long, q_lo long"
+    )
 
     entries = [
         F.struct(
             F.lit(cid).alias("band"),
-            _combo_key_expr("simhash", widths, idxs).alias("key"),
+            _combo_key_expr("simhash", "sh_lo", widths, idxs).alias("key"),
         )
         for cid, idxs in enumerate(combos)
     ]
     bands = simprints.select(
-        "doc_id", "seg_idx", "simhash", F.explode(F.array(*entries)).alias("e")
-    ).select("doc_id", "seg_idx", "simhash", F.col("e.band").alias("band"),
-             F.col("e.key").alias("key"))
+        "doc_id", "seg_idx", "simhash", "sh_lo",
+        F.explode(F.array(*entries)).alias("e"),
+    ).select(
+        "doc_id", "seg_idx", "simhash", "sh_lo",
+        F.col("e.band").alias("band"), F.col("e.key").alias("key"),
+    )
     return bands.join(F.broadcast(q), ["band", "key"])
 
 
@@ -242,20 +316,20 @@ def granular_topk(
     bands_n: int = 13,
 ) -> DataFrame:
     """(rank, doc_id, score, n_matched_segs) top-k docs containing segments
-    similar to the query's segments — banded-LSH candidate join, exact
-    recall for n_bands >= max_hamming + combo (default bands: exactly
-    that).  ``combo`` keys on combo-band subsets: combo=2/3 keeps recall
-    exact while pruning far harder at high thresholds (e.g. max_hamming=12:
-    13 single bands admit ~40% of segments, 91 two-band keys ~16%, 455
-    three-band keys ~6%).
+    similar to the query's segments — banded-LSH candidate join over the
+    128-bit segment simprints, exact recall for
+    n_bands >= max_hamming + combo (default bands: exactly that).
+    ``combo`` keys on combo-band subsets: combo=2/3 keeps recall exact
+    while pruning harder at high thresholds.
 
     Pass ``simprints`` (the persisted build artifact,
     operators/build.py:load_simprints) for the serving path — segmenting
     raw ``docs`` per query is the cold-start fallback only.  Pass
-    ``bands`` (load_simprint_bands, written at ``bands_n`` fixed bands) to
-    fetch candidates by KEYED LOOKUP from the persisted LSH table instead
-    of banding the simprints scan per query; recall stays exact for
-    max_hamming < bands_n (pigeonhole on the frozen banding)."""
+    ``bands`` (load_simprint_bands, written at ``bands_n`` fixed ~10-bit
+    bands over the 128-bit hash) to fetch candidates by KEYED LOOKUP from
+    the persisted LSH table instead of banding the simprints scan per
+    query; recall stays exact for max_hamming < bands_n (pigeonhole on
+    the frozen banding)."""
     if bands is not None:
         if max_hamming >= bands_n:
             raise ValueError(
@@ -282,27 +356,33 @@ def granular_topk(
     n_q = len(qsegs)
 
     if bands is not None:
-        widths = band_widths(bands_n)
+        widths = band_widths(bands_n, SIMPRINT_BITS)
         q_rows = []
-        for s, _, _, _, h in qsegs:
-            uh = h & ((1 << 64) - 1)
+        for s, _, _, _, hi, lo in qsegs:
             for b, (shift, w) in enumerate(widths):
-                q_rows.append((b, (uh >> shift) & ((1 << w) - 1), s, h))
+                q_rows.append((b, band_key128_py(hi, lo, shift, w), s, hi, lo))
         q = spark.createDataFrame(
-            q_rows, "band int, key long, q_seg int, q_sim long"
+            q_rows, "band int, key long, q_seg int, q_hi long, q_lo long"
         )
         cands = bands.join(F.broadcast(q), ["band", "key"])
     else:
         cands = _banded_candidates(simprints, qsegs, n_bands, combo)
     matched = (
         cands
-        .withColumn("h", hamming_expr(F.col("simhash"), F.col("q_sim")))
+        .withColumn(
+            "h",
+            hamming128_expr(
+                F.col("simhash"), F.col("sh_lo"), F.col("q_hi"), F.col("q_lo")
+            ),
+        )
         .filter(F.col("h") <= max_hamming)
         .select(
             "doc_id",
             "seg_idx",
             "q_seg",
-            neardup_score_expr(F.col("simhash"), F.col("q_sim")).alias("sim"),
+            neardup_score128_expr(
+                F.col("simhash"), F.col("sh_lo"), F.col("q_hi"), F.col("q_lo")
+            ).alias("sim"),
         )
         .dropDuplicates(["doc_id", "seg_idx", "q_seg"])
     )

@@ -59,7 +59,9 @@ def test_persisted_simprints_match_computed(spark, pages_df, built):
 
     docs = pages_df.select(doc_id_udf("url").alias("doc_id"), "text")
     key = lambda r: (r["doc_id"], r["seg_idx"])  # noqa: E731
-    val = lambda r: (r["n_tokens"], r["offset"], r["size"], r["simhash"])  # noqa: E731
+    val = lambda r: (  # noqa: E731
+        r["n_tokens"], r["offset"], r["size"], r["simhash"], r["sh_lo"],
+    )
     want = {key(r): val(r) for r in simprints_table(docs).collect()}
     got = {key(r): val(r) for r in load_simprints(spark, built).collect()}
     assert got == want

@@ -30,12 +30,15 @@ def docs(spark):
 def test_simprints_table_matches_python(spark, docs):
     rows = docs.select("doc_id", "text").collect()
     want = {
-        (r["doc_id"], s, n, o, z): h
+        (r["doc_id"], s, n, o, z): (hi, lo)
         for r in rows
-        for s, n, o, z, h in segment_simhashes_py(r["text"])
+        for s, n, o, z, hi, lo in segment_simhashes_py(r["text"])
     }
     got = {
-        (r["doc_id"], r["seg_idx"], r["n_tokens"], r["offset"], r["size"]): r["simhash"]
+        (r["doc_id"], r["seg_idx"], r["n_tokens"], r["offset"], r["size"]): (
+            r["simhash"],
+            r["sh_lo"],
+        )
         for r in simprints_table(docs).collect()
     }
     assert got == want
@@ -70,7 +73,7 @@ def test_segment_byte_spans_independent_oracle():
             cur = i + len(t)
         segs = segment_simhashes_py(text, seg_tokens=32)
         assert len(segs) == (len(toks) + 31) // 32 if toks else not segs
-        for s, n, o, z, _ in segs:
+        for s, n, o, z, _, _ in segs:
             first = spans[s * 32]
             last = spans[s * 32 + n - 1]
             assert o == first[0] and z == last[1] - first[0], (text[:20], s)
@@ -79,22 +82,26 @@ def test_segment_byte_spans_independent_oracle():
             assert tokenize_py(blob) == toks[s * 32 : s * 32 + n]
 
 
+MAXH = 24  # 128-bit hamming threshold for the brute-force parity test
+
+
 def test_granular_topk_matches_bruteforce(spark, docs):
     rows = docs.select("doc_id", "text").collect()
     qsegs = segment_simhashes_py(QUERY)
     n_q = len(qsegs)
 
-    def ham(a, b):
-        return bin((a ^ b) & (2**64 - 1)).count("1")
+    def ham(a_hi, a_lo, b_hi, b_lo):
+        m = 2**64 - 1
+        return bin((a_hi ^ b_hi) & m).count("1") + bin((a_lo ^ b_lo) & m).count("1")
 
     scores = {}
     for r in rows:
         best: dict[int, float] = {}
-        for _, _, _, _, dh in segment_simhashes_py(r["text"]):
-            for qi, _, _, _, qh in qsegs:
-                h = ham(dh, qh)
-                if h <= 12:
-                    sim = 1.0 - h / 64.0
+        for _, _, _, _, dhi, dlo in segment_simhashes_py(r["text"]):
+            for qi, _, _, _, qhi, qlo in qsegs:
+                h = ham(dhi, dlo, qhi, qlo)
+                if h <= MAXH:
+                    sim = 1.0 - h / 128.0
                     if sim > best.get(qi, -1.0):
                         best[qi] = sim
         if best:
@@ -103,7 +110,9 @@ def test_granular_topk_matches_bruteforce(spark, docs):
 
     got = [
         (r["doc_id"], (r["score"], r["n_matched_segs"]))
-        for r in granular_topk(docs, QUERY, k=10, max_hamming=12).orderBy("rank").collect()
+        for r in granular_topk(docs, QUERY, k=10, max_hamming=MAXH)
+        .orderBy("rank")
+        .collect()
     ]
     assert [(d, s) for d, (s, _) in want] == [(d, s) for d, (s, _) in got]
     assert [n for _, (_, n) in want] == [n for _, (_, n) in got]
