@@ -101,6 +101,27 @@ def rph_signature_udf(dim: int, n_planes: int = 64, seed: int = 42):
     return sig
 
 
+def _sig_bands(with_sig: DataFrame, n_bands: int) -> DataFrame:
+    """(vec_id, band, key) band slices of the 64-bit RPH signature column
+    ``s`` — ONE scan of the signature relation (and ONE evaluation of the
+    signature UDF): the n_bands rows per vector come from a JVM explode
+    of struct literals, not n_bands unioned re-selects."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("s", b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    return with_sig.select(
+        "vec_id", F.explode(F.array(*entries)).alias("e")
+    ).select("vec_id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -127,16 +148,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
         sig(vec_col).alias("s"),
     )
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    bands = None
-    for b in range(n_bands):
-        x = with_sig.select(
-            "vec_id",
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned("s", b * width).bitwiseAND(F.lit(mask)).alias("key"),
-        )
-        bands = x if bands is None else bands.unionByName(x)
+    bands = _sig_bands(with_sig, n_bands)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
@@ -325,16 +337,7 @@ def rph_ann_topk(
     with_sig = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), sig(vec_col).alias("s")
     )
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    bands = None
-    for b in range(n_bands):
-        x = with_sig.select(
-            "vec_id",
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned("s", b * width).bitwiseAND(F.lit(mask)).alias("key"),
-        )
-        bands = x if bands is None else bands.unionByName(x)
+    bands = _sig_bands(with_sig, n_bands)
     qb = bands.filter(F.col("vec_id") == query_vec_id).select("band", "key")
     cand_ids = (
         bands.join(F.broadcast(qb), ["band", "key"])

@@ -1126,6 +1126,34 @@ def _merge_parts(
     )
 
 
+def _dedupe_delta(pages: DataFrame) -> DataFrame:
+    """ONE surviving row per url/doc_id key in an upsert delta.
+
+    A batch carrying the same url twice (recrawls or duplicate records in
+    a streaming micro-batch) must not insert two docs rows for one key —
+    that double-counts df/n_docs/avgdl and duplicates (doc, term)
+    postings.  The survivor is deterministic and order-independent (so
+    at-least-once batch replays converge): the latest ``warc_ts`` when
+    the delta carries one (the recrawl case), lexicographically-largest
+    (text, lang) otherwise."""
+    from pyspark.sql import Window
+
+    cols = set(pages.columns)
+    key = "url" if "url" in cols else "doc_id"
+    order = []
+    if "warc_ts" in cols:
+        order.append(F.col("warc_ts").desc())
+    order.append(F.col("text").desc())
+    if "lang" in cols:
+        order.append(F.col("lang").desc())
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def upsert_docs(
     spark: SparkSession,
     pages: DataFrame,
@@ -1145,7 +1173,7 @@ def upsert_docs(
     cat = IndexCatalog(index_dir)
     ckpt, n_parts = _require_ckpt_parts(spark, cat)
     h1, h2 = _row_hash_cols()
-    delta = _normalize_input(pages).withColumn(
+    delta = _normalize_input(_dedupe_delta(pages)).withColumn(
         "part", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
     key_rows = delta.select("part", "doc_id").distinct().collect()

@@ -112,19 +112,23 @@ def lsh_candidate_pairs(
     near-identical docs still chains into one dup cluster transitively.
     """
     rows_per_band = n_perm // n_bands
-    bands = []
+    # ONE scan of the signature relation: the n_bands (band, key) rows
+    # per doc come from a JVM explode of struct literals (n_bands unioned
+    # selects each re-scan sigs — and re-run the signature UDF — per band)
+    entries = []
     for bi in range(n_bands):
         cols = [f"m{bi * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(
-            sigs.select(
-                "doc_id",
+        entries.append(
+            F.struct(
                 F.lit(bi).alias("band"),
-                F.concat_ws("-", *[F.col(c).cast("string") for c in cols]).alias("key"),
+                F.concat_ws(
+                    "-", *[F.col(c).cast("string") for c in cols]
+                ).alias("key"),
             )
         )
-    all_bands = bands[0]
-    for x in bands[1:]:
-        all_bands = all_bands.unionByName(x)
+    all_bands = sigs.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
     if max_bucket is not None:
         from pyspark.sql import Window
 

@@ -32,21 +32,21 @@ def simhash_bands(
         )
     width = 64 // n_bands
     mask = (1 << width) - 1
-    out = []
-    for b in range(n_bands):
-        out.append(
-            docs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(simhash_col), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
+    # ONE scan of the source: the n_bands (band, key) rows per doc come
+    # from a JVM explode of struct literals (n_bands unioned selects each
+    # re-scan the relation — and re-run any upstream UDF — per band)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(simhash_col), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
         )
-    df = out[0]
-    for x in out[1:]:
-        df = df.unionByName(x)
-    return df
+        for b in range(n_bands)
+    ]
+    return docs.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    )
 
 
 def simhash_neardup_pairs(

@@ -124,6 +124,27 @@ def stream_index_maintenance(
     return writer.start()
 
 
+def _first_seen_pick(pdfs):
+    """min-warc_ts row (lang tie-break) across ALL pandas chunks of one
+    url group — module-level so the chunk-spanning semantics are unit-
+    testable without a streaming harness."""
+    first = None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        cand = pdf.sort_values(["warc_ts", "lang"]).iloc[:1]
+        if (
+            first is None
+            or cand["warc_ts"].iloc[0] < first["warc_ts"].iloc[0]
+            or (
+                cand["warc_ts"].iloc[0] == first["warc_ts"].iloc[0]
+                and cand["lang"].iloc[0] < first["lang"].iloc[0]
+            )
+        ):
+            first = cand[["url", "warc_ts", "lang"]]
+    return first
+
+
 def first_seen_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     """Custom STATEFUL streaming operator: first-seen-wins url dedup
     (streaming U1) via applyInPandasWithState — per-url state records
@@ -140,11 +161,11 @@ def first_seen_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     def dedupe(key, pdfs, state: GroupState):
         if state.exists:
             return iter(())  # url already emitted in an earlier batch
-        first = None
-        for pdf in pdfs:
-            if len(pdf) and first is None:
-                row = pdf.sort_values("warc_ts").iloc[:1]
-                first = row[["url", "warc_ts", "lang"]]
+        # a url's rows within one micro-batch may span multiple pandas
+        # chunks: track the running min-warc_ts row across ALL chunks
+        # (stopping at the first non-empty chunk made the emitted row
+        # chunking-dependent); lang is the deterministic tie-break
+        first = _first_seen_pick(pdfs)
         if first is None:
             return iter(())
         state.update((1,))

@@ -137,3 +137,37 @@ def test_band_lookup_filter_is_pushed(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [Or(" in plan or "PushedFilters: [And(" in plan
     assert "EqualTo(band,0)" in plan
+
+
+def test_lsh_band_generation_is_one_scan(spark):
+    """Every LSH band fan-out (minhash, simhash near-dup, RPH embedding)
+    must generate its (band, key) rows from a JVM explode over ONE scan of
+    the source relation — n_bands unioned re-selects re-scan the source
+    (and re-run the signature UDF) once per band."""
+    from iscc_search_spark.operators.ann import _sig_bands, rph_signature_udf
+    from iscc_search_spark.operators.dedup import lsh_candidate_pairs
+    from iscc_search_spark.operators.neardup import simhash_bands
+
+    sh = spark.createDataFrame(
+        [(1, 12345), (2, -9876)], "doc_id long, simhash long"
+    )
+    p = plan_of(simhash_bands(sh, n_bands=8))
+    assert "Union" not in p and "explode(array(struct" in p
+
+    sigs = spark.createDataFrame(
+        [(1, *range(16)), (2, *range(16))],
+        "doc_id long, " + ", ".join(f"m{i} long" for i in range(16)),
+    )
+    p = plan_of(lsh_candidate_pairs(sigs, n_perm=16, n_bands=4))
+    assert "Union" not in p
+    assert p.count("+- Generate") == 2  # ONE band explode per self-join side
+
+    emb = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id long, embedding array<double>",
+    )
+    sig = rph_signature_udf(2, 64, 42)
+    with_sig = emb.select("vec_id", F.col("embedding").alias("v"), sig("embedding").alias("s"))
+    p = plan_of(_sig_bands(with_sig, n_bands=16))
+    assert "Union" not in p and "explode(array(struct" in p
+    assert p.count("+- ArrowEvalPython") == 1  # signature UDF runs once

@@ -102,3 +102,27 @@ def test_first_seen_stateful_dedup(spark, tmp_path):
     assert sorted(r["url"] for r in rows2) == [
         "http://d.test/a", "http://d.test/b", "http://d.test/c"
     ]
+
+
+def test_first_seen_pick_spans_chunks():
+    """The first-seen reducer must take the min-warc_ts row across ALL
+    pandas chunks of a micro-batch group — an earlier-timestamp row in a
+    LATER chunk must win (the pre-round-4 bug emitted the first chunk's
+    min, making the result chunking-dependent)."""
+    import pandas as pd
+
+    from iscc_search_spark.streaming.ingest import _first_seen_pick
+
+    mk = lambda ts, lang: pd.DataFrame(  # noqa: E731
+        {"url": ["u"], "warc_ts": [pd.Timestamp(ts)], "lang": [lang]}
+    )
+    # earlier timestamp arrives in the SECOND chunk
+    got = _first_seen_pick(iter([mk("2026-01-05", "en"), mk("2026-01-01", "de")]))
+    assert str(got["warc_ts"].iloc[0]) == "2026-01-01 00:00:00"
+    assert got["lang"].iloc[0] == "de"
+    # equal timestamps: lang tie-break, independent of chunk order
+    a = _first_seen_pick(iter([mk("2026-01-01", "en"), mk("2026-01-01", "de")]))
+    b = _first_seen_pick(iter([mk("2026-01-01", "de"), mk("2026-01-01", "en")]))
+    assert a["lang"].iloc[0] == b["lang"].iloc[0] == "de"
+    # empty chunks are skipped; all-empty -> None
+    assert _first_seen_pick(iter([mk("2026-01-01", "en").iloc[:0]])) is None

@@ -109,3 +109,49 @@ def test_delete_removes_doc_and_postings(spark, pages_df, built):
         ]
         assert got == oracle.search(q, k=10), q
         assert target_id not in [d for d, _ in got]
+
+
+def test_upsert_dedupes_delta_per_url(spark, pages_df, built):
+    """A delta carrying the same url twice must insert ONE docs row (the
+    deterministic survivor), not two — duplicate rows double-counted df,
+    n_docs and avgdl and doubled (doc, term) postings before round 4."""
+    from iscc_search_spark.operators.query import BM25Config
+    from iscc_search_spark.operators.wand import bm25_wand_topk
+
+    url = "http://dup.test/page"
+    old_text = "qqversion one body qqolddup t00002"
+    new_text = "qqversion two body qqnewdup t00003 t00003"
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+    t1 = datetime.datetime(2026, 1, 2)
+    delta = spark.createDataFrame(
+        [(url, old_text, "en", t0), (url, new_text, "en", t1)],
+        "url string, text string, lang string, warc_ts timestamp",
+    )
+    upsert_docs(spark, delta, built, cfg=CFG)
+    cat = IndexCatalog(built)
+    docs = spark.read.parquet(cat.docs).filter(F.col("url") == url).collect()
+    assert len(docs) == 1  # one surviving row
+    did = doc_id_for_url(url)
+    assert docs[0]["doc_id"] == did
+
+    # the survivor is the LATEST warc_ts version, and the index state is
+    # IDENTICAL to upserting only that row into a fresh copy
+    n_docs_after = spark.read.parquet(cat.docs).count()
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_wand_topk(spark, built, "qqnewdup", k=5).collect()
+    ]
+    assert any(d == did for d, _ in got)  # new_text's term is indexed
+    lost = bm25_wand_topk(spark, built, "qqolddup", k=5).collect()
+    assert not any(r["doc_id"] == did for r in lost)  # loser version gone
+
+    # postings not duplicated: the shared term hits this doc exactly once
+    tf_rows = bm25_wand_topk(spark, built, "qqversion", k=10).collect()
+    assert sum(1 for row in tf_rows if row["doc_id"] == did) == 1
+
+    # replaying the SAME delta is a no-op (idempotent convergence)
+    before = spark.read.parquet(cat.docs).count()
+    upsert_docs(spark, delta, built, cfg=CFG)
+    assert spark.read.parquet(cat.docs).count() == before == n_docs_after
