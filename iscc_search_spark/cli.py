@@ -44,6 +44,14 @@ def main(argv: list[str] | None = None) -> int:
     nd.add_argument("--index", required=True)
     nd.add_argument("--max-hamming", type=int, default=6)
 
+    ix = sub.add_parser("indexes", help="named-index registry (S8 full)")
+    ix.add_argument("--root", required=True, help="registry base dir")
+    ix.add_argument(
+        "action", choices=["create", "list", "get", "delete", "add"],
+    )
+    ix.add_argument("name", nargs="?", help="index name (not for 'list')")
+    ix.add_argument("--pages", help="pages parquet path (for 'add')")
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -99,6 +107,22 @@ def main(argv: list[str] | None = None) -> int:
             idx = SearchIndex(spark, args.index)
             for r in idx.near_duplicates(args.max_hamming).collect():
                 print(json.dumps(r.asDict()))
+        elif args.cmd == "indexes":
+            from iscc_search_spark.manager import IndexManager
+
+            mgr = IndexManager(spark, args.root)
+            if args.action == "list":
+                print(json.dumps(mgr.list_indexes()))
+            elif args.action == "create":
+                print(json.dumps(mgr.create_index(args.name)))
+            elif args.action == "get":
+                print(json.dumps(mgr.get_index(args.name)))
+            elif args.action == "delete":
+                mgr.delete_index(args.name)
+                print(json.dumps({"deleted": args.name}))
+            elif args.action == "add":
+                pages = spark.read.parquet(args.pages)
+                print(json.dumps(mgr.add_assets(args.name, pages)))
     finally:
         if not pre_existing:  # embedded callers keep their session
             spark.stop()

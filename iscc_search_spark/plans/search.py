@@ -119,20 +119,53 @@ class SearchIndex:
 
     # --- DDL / stats (S8) ----------------------------------------------------
 
-    def stats(self) -> dict:
-        docs = self.spark.read.parquet(self.cat.docs)
-        postings = self.spark.read.parquet(self.cat.postings)
+    def stats(self, exact: bool = False) -> dict:
+        """Index statistics with ZERO Spark jobs on the default path:
+        n_docs/avgdl come from meta (maintained by build/upsert/delete),
+        table row counts from the parquet file footers (driver-side
+        metadata reads — exact values, no data scan; the pre-round-4
+        version fired 4-5 full-table count() jobs per call, which the
+        HTTP /stats endpoint inherited).  ``exact=True`` re-counts via
+        Spark jobs — the cross-check/debug path."""
+        if exact:
+            out = {
+                **self.meta,
+                "n_docs": self.spark.read.parquet(self.cat.docs).count(),
+                "n_posting_blocks": self.spark.read.parquet(
+                    self.cat.postings
+                ).count(),
+                "n_terms": self.spark.read.parquet(self.cat.term_stats).count(),
+            }
+            if self.cat.exists("units"):
+                out["n_units"] = self.units().count()
+            if self.cat.exists("simprints"):
+                out["n_simprints"] = self.simprints().count()
+            return out
         out = {
             **self.meta,
-            "n_docs": docs.count(),
-            "n_posting_blocks": postings.count(),
-            "n_terms": self.spark.read.parquet(self.cat.term_stats).count(),
+            "n_posting_blocks": _parquet_num_rows(self.cat.postings),
+            "n_terms": _parquet_num_rows(self.cat.term_stats),
         }
         if self.cat.exists("units"):
-            out["n_units"] = self.units().count()
+            out["n_units"] = _parquet_num_rows(self.cat.units)
         if self.cat.exists("simprints"):
-            out["n_simprints"] = self.simprints().count()
+            out["n_simprints"] = _parquet_num_rows(self.cat.simprints)
         return out
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Exact table row count from parquet FOOTERS only (no data pages,
+    no Spark job) — the driver-side analogue of a manifest count."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
 
 
 def drop_index(index_dir: str) -> None:

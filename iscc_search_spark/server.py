@@ -20,8 +20,22 @@ or a Spark Connect client):
                                          -> chunk-level simprint search
                                             from the PERSISTED simprints
 
+Registry mode (pass ``base_path`` instead of ``index_dir``) serves the
+NAMED-index surface the reference's RemoteIndex client drives
+(remote/client.py:95-267; routes server/indexes.py):
+
+    GET    /indexes                       -> list (name, assets, size, sizes)
+    POST   /indexes        {"name": ...}  -> create (400 invalid, 409 exists)
+    GET    /indexes/{name}                -> metadata (404 unknown)
+    DELETE /indexes/{name}                -> delete (404 unknown)
+    POST   /indexes/{name}/assets [rows]  -> batch ingest (url/text/lang
+                                             rows; build-then-upsert)
+    GET    /indexes/{name}/search?q=&k=   -> BM25 top-k on that index
+    GET    /indexes/{name}/stats          -> per-index stats
+
 Error mapping mirrors the reference: missing/invalid parameters -> 400,
-unknown doc_id -> 404 (server/search.py:31-44).  Responses are JSON rows.
+unknown doc_id/index -> 404, create-exists -> 409 (server/search.py:31-44).
+Responses are JSON rows.
 
 Queries run on the server's long-lived SparkSession; the underlying
 IndexReader revalidates against meta.json mtime per query, so in-place
@@ -128,38 +142,153 @@ class SearchApp:
         raise ApiError(404, f"no such endpoint: {path}")
 
 
-def make_server(spark, index_dir: str, host: str = "127.0.0.1", port: int = 0):
+class RegistryApp:
+    """Named-index registry routes over an IndexManager (the reference's
+    /indexes surface, server/indexes.py + remote/client.py:95-267)."""
+
+    def __init__(self, spark, base_path: str, **mgr_kw):
+        from iscc_search_spark.manager import IndexManager
+
+        self.spark = spark
+        self.manager = IndexManager(spark, base_path, **mgr_kw)
+
+    def handle(self, method: str, path: str, params: dict, body) -> tuple[int, object]:
+        m = self.manager
+        parts = [p for p in path.split("/") if p]
+        try:
+            if parts == ["health"]:
+                return 200, {"status": "ok"}
+            if parts == ["indexes"]:
+                if method == "GET":
+                    return 200, m.list_indexes()
+                if method == "POST":
+                    if not isinstance(body, dict) or "name" not in body:
+                        raise ApiError(400, "body must be {\"name\": ...}")
+                    return 201, m.create_index(body["name"])
+            if len(parts) == 2 and parts[0] == "indexes":
+                name = parts[1]
+                if method == "GET":
+                    return 200, m.get_index(name)
+                if method == "DELETE":
+                    m.delete_index(name)
+                    return 204, None
+            if len(parts) == 3 and parts[0] == "indexes":
+                name, tail = parts[1], parts[2]
+                if tail == "assets" and method == "POST":
+                    if not isinstance(body, list) or not body:
+                        raise ApiError(400, "body must be a non-empty row list")
+                    rows = [
+                        (r.get("url"), r.get("text"), r.get("lang", "und"))
+                        for r in body
+                    ]
+                    if any(u is None or t is None for u, t, _ in rows):
+                        raise ApiError(400, "each row needs url and text")
+                    df = self.spark.createDataFrame(
+                        rows, "url string, text string, lang string"
+                    )
+                    info = m.add_assets(name, df)
+                    return 200, {
+                        "results": [{"url": u, "status": "ok"} for u, _, _ in rows],
+                        "index": info,
+                    }
+                if tail == "search" and method == "GET":
+                    q = SearchApp._str(params, "q")
+                    k = SearchApp._int(params, "k", 10)
+                    from iscc_search_spark.operators.wand import (
+                        bm25_wand_topk_local,
+                    )
+
+                    out = bm25_wand_topk_local(m.open(name).reader, q, k=k)
+                    return 200, out.to_dict(orient="records")
+                if tail == "stats" and method == "GET":
+                    return 200, m.open(name).stats()
+        except ValueError as e:
+            raise ApiError(400, str(e))
+        except FileExistsError as e:
+            raise ApiError(409, str(e))
+        except FileNotFoundError as e:
+            raise ApiError(404, str(e))
+        raise ApiError(404, f"no such endpoint: {method} {path}")
+
+
+def make_server(
+    spark,
+    index_dir: str | None = None,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    base_path: str | None = None,
+):
     """ThreadingHTTPServer bound to (host, port); port=0 picks a free one.
-    Returns the server; run with serve_forever() (or in a thread)."""
-    app = SearchApp(spark, index_dir)
+    Pass ``index_dir`` for single-index mode or ``base_path`` for the
+    named-index registry.  Returns the server; run with serve_forever()
+    (or in a thread)."""
+    if (index_dir is None) == (base_path is None):
+        raise ValueError("pass exactly one of index_dir / base_path")
+    single = SearchApp(spark, index_dir) if index_dir else None
+    registry = RegistryApp(spark, base_path) if base_path else None
 
     class Handler(BaseHTTPRequestHandler):
-        def do_GET(self):  # noqa: N802 (http.server API)
+        def _respond(self, method: str):
             u = urlparse(self.path)
+            params = parse_qs(u.query)
+            body = None
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                try:
+                    body = json.loads(self.rfile.read(length))
+                except json.JSONDecodeError:
+                    self._write(400, {"error": "invalid JSON body"})
+                    return
             try:
-                status, body = app.handle(u.path, parse_qs(u.query))
+                if registry is not None:
+                    status, out = registry.handle(method, u.path, params, body)
+                elif method == "GET":
+                    status, out = single.handle(u.path, params)
+                else:
+                    raise ApiError(404, f"no such endpoint: {method} {u.path}")
             except ApiError as e:
-                status, body = e.status, {"error": e.message}
+                status, out = e.status, {"error": e.message}
             except Exception as e:  # internal error -> 500, never a hang
-                status, body = 500, {"error": str(e)}
-            data = json.dumps(body, default=str).encode("utf-8")
+                status, out = 500, {"error": str(e)}
+            self._write(status, out)
+
+        def _write(self, status: int, body) -> None:
+            data = b"" if body is None else json.dumps(
+                body, default=str
+            ).encode("utf-8")
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
-            self.wfile.write(data)
+            if data:
+                self.wfile.write(data)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            self._respond("GET")
+
+        def do_POST(self):  # noqa: N802
+            self._respond("POST")
+
+        def do_DELETE(self):  # noqa: N802
+            self._respond("DELETE")
 
         def log_message(self, *args):  # quiet test output
             pass
 
     srv = ThreadingHTTPServer((host, port), Handler)
-    srv.app = app
+    srv.app = single or registry
     return srv
 
 
-def serve_in_thread(spark, index_dir: str, host: str = "127.0.0.1", port: int = 0):
+def serve_in_thread(
+    spark,
+    index_dir: str | None = None,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    base_path: str | None = None,
+):
     """Start the server on a daemon thread; returns (server, base_url)."""
-    srv = make_server(spark, index_dir, host, port)
+    srv = make_server(spark, index_dir, host, port, base_path=base_path)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     h, p = srv.server_address

@@ -47,3 +47,28 @@ def test_stats(index):
     assert st["n_docs"] == 200
     assert st["n_terms"] > 0
     assert st["n_posting_blocks"] > 0
+
+
+def test_stats_default_runs_zero_spark_jobs(index):
+    """The default stats() path must not touch Spark at all (meta +
+    parquet footers only) and must agree with the exact=True Spark-job
+    recount on every count field."""
+    cheap = index.stats()
+    full = index.stats(exact=True)
+    for k in ("n_docs", "n_posting_blocks", "n_terms"):
+        assert cheap[k] == full[k], k
+    for k in ("n_units", "n_simprints"):
+        if k in full:
+            assert cheap[k] == full[k], k
+
+    class _NoSpark:  # any attribute access = a Spark touch = failure
+        def __getattr__(self, name):
+            raise AssertionError(f"default stats() touched spark.{name}")
+
+    saved = index.spark
+    index.spark = _NoSpark()
+    try:
+        again = index.stats()
+        assert again == cheap
+    finally:
+        index.spark = saved
