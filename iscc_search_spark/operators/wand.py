@@ -394,15 +394,29 @@ def bm25_wand_topk(
 def _batch_shard_scorer(
     query_idf: dict[int, dict[str, float]], k1: float, b: float, avgdl: float, k: int
 ):
-    """Per-shard scorer for a query BATCH.
+    """Per-shard scorer for a query BATCH — dense-accumulator TAAT.
 
-    Every posting block of every requested term is decoded exactly once and
-    cached per (term) as per-block (block_max, doc_ids, tfnorm) triples;
-    each query then scores from the shared cache with its own idf weights
-    and per-query block-max pruning (same exactness argument as the
-    single-query scorer).  This amortizes parquet scan + Arrow transfer +
-    decode across the whole query batch — the serving-path answer to the
-    reference's per-query LMDB cursor reuse (lmdb/index.py:395-445).
+    Every posting block of every requested term is decoded exactly once
+    and ALIGNED once into the shard's dense candidate-doc space (position
+    array + tfnorm array per term); each query is then a handful of
+    fancy-indexed adds into a dense accumulator plus one top-k partition
+    — no per-query unique/searchsorted/concatenate (the round-3 version
+    replicated ~30 small-array numpy calls per (query, shard), which made
+    batch throughput scale with shard count instead of core count).
+    Queries with IDENTICAL (term, idf) signatures are scored once and
+    fanned out (real query logs are duplicate-heavy; results are exact
+    either way).
+
+    Result-identity: scores accumulate per doc in ascending term order —
+    the same ordered-sum discipline as before — so outputs are
+    bit-identical to the round-3 scorer and to the single-query WAND path
+    (which keeps block-max pruning: pruning pays off at one query per
+    job, not when a batch shares the decode).  The dense accumulator is
+    sized by the shard's CANDIDATE doc count, which shard sizing bounds
+    (shards scale with corpus at 10^12 docs; a shard is never the corpus).
+    This amortizes parquet scan + Arrow transfer + decode across the
+    whole query batch — the serving-path answer to the reference's
+    per-query LMDB cursor reuse (lmdb/index.py:395-445).
     """
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -410,55 +424,64 @@ def _batch_shard_scorer(
             t: _decode_term_blocks(g, k1, b, avgdl)
             for t, g in pdf.groupby("term", sort=False)
         }
+        if not decoded:
+            return pd.DataFrame(
+                {
+                    "query_id": np.empty(0, np.int64),
+                    "doc_id": np.empty(0, np.int64),
+                    "score": np.empty(0, np.float64),
+                }
+            )
+        # dense shard candidate space: union of all batch terms' doc ids
+        all_ids = np.unique(
+            np.concatenate(
+                [d for blocks in decoded.values() for _, d, _ in blocks]
+            )
+        )
+        term_pos: dict[str, np.ndarray] = {}
+        term_tfn: dict[str, np.ndarray] = {}
+        for t, blocks in decoded.items():
+            ids = np.concatenate([d for _, d, _ in blocks])
+            term_pos[t] = np.searchsorted(all_ids, ids)
+            term_tfn[t] = np.concatenate([tn for _, _, tn in blocks])
 
+        # dedupe identical (terms, idfs) signatures across the batch
+        sig_qids: dict[tuple, list[int]] = {}
+        for qid, idf in query_idf.items():
+            present = tuple(sorted(t for t in idf if t in decoded))
+            if not present:
+                continue
+            sig = (present, tuple(idf[t] for t in present))
+            sig_qids.setdefault(sig, []).append(qid)
+
+        acc = np.zeros(len(all_ids), dtype=np.float64)
         out_qid: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
-        for qid, idf in query_idf.items():
-            present = sorted(t for t in idf if t in decoded)
-            if not present:
+        for (present, idfs), qids in sig_qids.items():
+            acc[:] = 0.0
+            for t, w_t in zip(present, idfs):  # ascending-term order
+                acc[term_pos[t]] += w_t * term_tfn[t]
+            touched = np.flatnonzero(acc)
+            if not len(touched):
                 continue
-            u = {
-                t: idf[t] * max(bm for bm, _, _ in decoded[t]) for t in present
-            }
-            sum_u = sum(u.values())
-            theta = -np.inf
-            if len(present) > 1 and k > 0:
-                rarest = min(
-                    present, key=lambda t: sum(len(d) for _, d, _ in decoded[t])
-                )
-                s0 = np.concatenate(
-                    [idf[rarest] * tn for _, _, tn in decoded[rarest]]
-                )
-                if len(s0) >= k:
-                    theta = float(np.partition(s0, -k)[-k])
-            eps = 1e-9 * (1.0 + abs(theta)) if np.isfinite(theta) else 0.0
-
-            per_term: list[tuple[np.ndarray, np.ndarray]] = []
-            for t in present:
-                min_bm = -np.inf
-                if np.isfinite(theta) and idf[t] > 0:
-                    min_bm = (theta - eps - (sum_u - u[t])) / idf[t]
-                ids_parts = [d for bm, d, _ in decoded[t] if bm >= min_bm]
-                s_parts = [
-                    idf[t] * tn for bm, _, tn in decoded[t] if bm >= min_bm
-                ]
-                if ids_parts:
-                    per_term.append(
-                        (np.concatenate(ids_parts), np.concatenate(s_parts))
-                    )
-            if not per_term:
-                continue
-            flat = np.concatenate([ids for ids, _ in per_term])
-            uniq = np.unique(flat)
-            acc = np.zeros(len(uniq), dtype=np.float64)
-            for ids, s in per_term:  # ascending-term order preserved
-                acc[np.searchsorted(uniq, ids)] += s
-            kk = min(k, len(uniq))
-            order = np.lexsort((uniq, -acc))[:kk]
-            out_qid.append(np.full(kk, qid, dtype=np.int64))
-            out_doc.append(uniq[order])
-            out_score.append(acc[order])
+            scores = acc[touched]
+            docs = all_ids[touched]
+            kk = min(k, len(touched))
+            if len(touched) > kk:
+                # pre-cut with an O(n) partition before the O(n log n)
+                # lexsort (the measured per-query hotspot); keeping every
+                # boundary-score tie preserves the exact (score desc,
+                # doc asc) order of the full sort
+                thresh = np.partition(scores, len(scores) - kk)[len(scores) - kk]
+                cand = np.flatnonzero(scores >= thresh)
+                docs, scores = docs[cand], scores[cand]
+            order = np.lexsort((docs, -scores))[:kk]
+            top_docs, top_scores = docs[order], scores[order]
+            for qid in qids:
+                out_qid.append(np.full(kk, qid, dtype=np.int64))
+                out_doc.append(top_docs)
+                out_score.append(top_scores)
 
         if not out_qid:
             return pd.DataFrame(

@@ -121,3 +121,58 @@ def test_granular_topk_matches_bruteforce(spark, docs):
 
 def test_granular_empty_query(spark, docs):
     assert granular_topk(docs, "???", k=5).count() == 0
+
+
+def test_band_key128_expr_mirrors_python(spark):
+    """The JVM band-key expressions and the Python query-side keys must
+    agree bit-for-bit for every (shift, width) shape: within-limb,
+    limb-spanning, and the degenerate >=64-bit windows (signed wrap) —
+    plus multi-band combo keys whose total width reaches 64 bits."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iscc_search_spark.operators.simprints import (
+        _combo_key_expr,
+        _combo_key_py,
+        band_key128_expr,
+        band_key128_py,
+        band_widths,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (rng.getrandbits(64) - (1 << 63), rng.getrandbits(64) - (1 << 63))
+        for _ in range(64)
+    ] + [(0, 0), (-1, -1), (1 << 62, -(1 << 62))]
+    df = spark.createDataFrame(rows, "hi long, lo long")
+
+    shapes = [(0, 10), (58, 10), (60, 9), (63, 2), (64, 10), (120, 8),
+              (0, 64), (32, 64), (64, 64), (0, 128), (5, 100)]
+    cols = [
+        band_key128_expr("hi", "lo", s, w).alias(f"k{i}")
+        for i, (s, w) in enumerate(shapes)
+    ]
+    got = df.select("hi", "lo", *cols).collect()
+    for r in got:
+        for i, (s, w) in enumerate(shapes):
+            assert r[f"k{i}"] == band_key128_py(r["hi"], r["lo"], s, w), (s, w)
+
+    # combo keys: 13 bands over 128 bits, combos incl. a 7-subset whose
+    # concatenated width exceeds 63 bits (the signed-wrap regime)
+    widths = band_widths(13, 128)
+    combos = [(0,), (12,), (0, 1), (3, 7, 11), tuple(range(7))]
+    ccols = [
+        _combo_key_expr("hi", "lo", widths, idxs).alias(f"c{i}")
+        for i, idxs in enumerate(combos)
+    ]
+    got = df.select("hi", "lo", *ccols).collect()
+    for r in got:
+        for i, idxs in enumerate(combos):
+            assert r[f"c{i}"] == _combo_key_py(r["hi"], r["lo"], widths, idxs), idxs
+    # the 2-band 64-bit-total degenerate config (max_hamming=0, combo=2)
+    w2 = band_widths(2, 128)
+    c2 = [_combo_key_expr("hi", "lo", w2, (0, 1)).alias("c")]
+    got = df.select("hi", "lo", *c2).collect()
+    for r in got:
+        assert r["c"] == _combo_key_py(r["hi"], r["lo"], w2, (0, 1))
