@@ -10,14 +10,6 @@ from iscc_search_spark.operators.simprints import (
 )
 
 SF = "/root/testdata/sf0.001"
-QUERY = (
-    "batch dup scan merge window sort query data spark filter "
-    "hash join stream value column row table big small slow fast "
-    "the a key order line part customer vector agg dup batch scan "
-    "merge window sort query data spark filter hash join stream value "
-    "column row table big small slow fast the a key order line part "
-    "customer vector agg dup batch"
-)
 
 
 @pytest.fixture(scope="module")
@@ -25,6 +17,25 @@ def docs(spark):
     df = spark.read.parquet(f"{SF}/documents.parquet").cache()
     df.count()
     return df
+
+
+@pytest.fixture(scope="module")
+def query_text(docs):
+    """64 tokens lifted from the longest corpus doc, two substituted in
+    the second window — one exact-match segment plus one near-match (the
+    bigram-shingle features make unrelated windows ~64/128 hamming away,
+    so a vocabulary-soup query matches nothing; real queries are
+    excerpts)."""
+    from iscc_search_spark.functions.textnorm import tokenize_py
+
+    row = docs.selectExpr("text", "length(text) AS n").orderBy(
+        F.desc("n"), "doc_id"
+    ).first()
+    toks = tokenize_py(row["text"])[:64]
+    assert len(toks) == 64
+    toks[37] = "qqswap"
+    toks[55] = "qqswap2"
+    return " ".join(toks)
 
 
 def test_simprints_table_matches_python(spark, docs):
@@ -85,9 +96,9 @@ def test_segment_byte_spans_independent_oracle():
 MAXH = 24  # 128-bit hamming threshold for the brute-force parity test
 
 
-def test_granular_topk_matches_bruteforce(spark, docs):
+def test_granular_topk_matches_bruteforce(spark, docs, query_text):
     rows = docs.select("doc_id", "text").collect()
-    qsegs = segment_simhashes_py(QUERY)
+    qsegs = segment_simhashes_py(query_text)
     n_q = len(qsegs)
 
     def ham(a_hi, a_lo, b_hi, b_lo):
@@ -110,7 +121,7 @@ def test_granular_topk_matches_bruteforce(spark, docs):
 
     got = [
         (r["doc_id"], (r["score"], r["n_matched_segs"]))
-        for r in granular_topk(docs, QUERY, k=10, max_hamming=MAXH)
+        for r in granular_topk(docs, query_text, k=10, max_hamming=MAXH)
         .orderBy("rank")
         .collect()
     ]
