@@ -19,8 +19,9 @@ fingerprint columns), everything else is derived and re-creatable from it.
                               per-asset similarity units, sorted by
                               content_sh within each part (prefix scans)
       simprints/part=N/       (doc_id, seg_idx, n_tokens, offset, size,
-                              simhash) granular segment simprints, sorted
-                              by simhash within each part
+                              simhash, sh_lo) granular 128-bit segment
+                              simprints (hi/lo limbs), sorted by simhash
+                              within each part
       unit_bands/part=N/      (doc_id, band, key) LSH lookup rows sorted
                               by (band, key) — candidate fetch is a keyed
                               row-group-pruned read.  Storage trade: 35
@@ -28,8 +29,9 @@ fingerprint columns), everything else is derived and re-creatable from it.
                               lookups instead of O(corpus) scan filters —
                               the columnar analogue of the reference's
                               per-type similarity index memory
-      simprint_bands/part=N/  (doc_id, seg_idx, simhash, band, key) —
-                              13 rows/segment, same layout/trade
+      simprint_bands/part=N/  (doc_id, seg_idx, simhash, sh_lo, band,
+                              key) — 13 ~10-bit-key rows/segment over
+                              the 128-bit simprint, same layout/trade
       meta.json               (n_docs, avgdl, config, lineage)
       _checkpoints/           per-input-partition fingerprints (resumability)
       _metrics/               build lineage + throughput rows

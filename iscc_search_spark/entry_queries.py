@@ -554,6 +554,29 @@ SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming,
        {_d(1.0)} - CAST(bit_count(xor(s1, s2)) AS DOUBLE) / {_d(64.0)} AS score
 FROM cand WHERE bit_count(xor(s1, s2)) <= 7"""
 
+    # --- transitive dup-cluster canonicalization (dedup family) ------------
+    def dedup_clusters(spark, sf):
+        # connected components over the simhash near-dup pairs: A~B and
+        # B~C collapse into one cluster labeled min(doc_id), even when
+        # A~C was never proposed — the canonicalization step after any
+        # pairwise dedup
+        from iscc_search_spark.operators.dedup import dup_clusters
+
+        pairs = neardup.simhash_neardup_pairs(f6(spark, sf), max_hamming=7)
+        return dup_clusters(pairs.select("doc1", "doc2"))
+
+    queries["dedup_cluster_canonical"] = dedup_clusters
+    # oracle: exact pairwise hamming edges (banded recall is exact at
+    # h=7 < 8 bands, and sf0.01 is small enough for the cross join) +
+    # a recursive min-label reachability closure
+    oracles["dedup_cluster_canonical"] = f"""{SIMHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b
+      WHERE a.doc_id <> b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 7),
+rr AS (SELECT a AS doc_id, a AS lab FROM e
+       UNION
+       SELECT e.b, rr.lab FROM rr JOIN e ON e.a = rr.doc_id)
+SELECT doc_id, CAST(min(lab) AS BIGINT) AS cluster_id FROM rr GROUP BY doc_id"""
+
     # --- ANN over embeddings (J3 similarity-join family) -------------------
     def annq(spark, sf):
         out = ann.cosine_topk(_t(spark, sf, "embeddings"), ANN_QUERY_ID, k=10)

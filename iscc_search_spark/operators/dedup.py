@@ -220,3 +220,65 @@ def minhash_dedup(
     sigs = minhash_signatures(docs, text_col, id_col, n_perm, ngram, seed)
     pairs = lsh_candidate_pairs(sigs, n_perm, n_bands, max_bucket)
     return jaccard_verify(docs, pairs, text_col, id_col, ngram, threshold)
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id) — transitive near-duplicate CLUSTERS from a
+    pairs relation (doc1, doc2): connected components with the cluster
+    labeled by its minimum doc_id, the canonicalization step a training
+    pipeline runs after any pairwise dedup (exact / minhash / simhash /
+    embedding) so that A~B and B~C collapse A, B, C into ONE group even
+    when A~C was never proposed.
+
+    Spark-first: iterative min-label propagation — per round, every
+    vertex takes the min of its own label and its neighbors' labels
+    (one join + one groupBy, both map-side-combinable); rounds until
+    fixpoint, bounded by the component diameter (near-dup clusters are
+    shallow: dup chains, not long paths).  Each round localCheckpoints
+    the label table so the plan stays flat (no exponential lineage) and
+    the convergence check is a cheap count on the CHANGED rows only.
+    At 10^12 docs this is the standard large-graph CC recipe (hash-join
+    rounds over (vertex, label) pairs); the driver loop only compares a
+    scalar per round, never collects data.
+    """
+    edges = (
+        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "b2"),
+                F.col("b") == F.col("b2"),
+            )
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        updated = (
+            labels.join(neigh, labels.doc_id == neigh.a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("new_id"),
+                F.col("cluster_id"),
+            )
+            .localCheckpoint()  # flatten lineage; reused twice below
+        )
+        changed = updated.filter(F.col("new_id") != F.col("cluster_id")).count()
+        labels = updated.select(
+            "doc_id", F.col("new_id").alias("cluster_id")
+        ).localCheckpoint(eager=False)
+        if changed == 0:
+            break
+    return labels

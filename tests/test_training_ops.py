@@ -203,3 +203,31 @@ def test_ivf_trained_full_probe_equals_exact(spark):
     ]
     assert set(partial) <= {v for v, _ in exact} | set(partial)  # sane subset
     assert len(partial) > 0
+
+
+def test_dup_clusters_transitive_components(spark):
+    """A~B, B~C collapse to one min-labeled cluster; disjoint components
+    keep separate labels; a long chain converges (diameter > 1 round);
+    pair order / direction never matters."""
+    from iscc_search_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (20, 10), (20, 30),          # component {10, 20, 30}, min 10
+            (5, 7),                      # component {5, 7}, min 5
+            (101, 100), (102, 101), (103, 102), (104, 103),  # chain 100..104
+        ],
+        "doc1 long, doc2 long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert got == {
+        10: 10, 20: 10, 30: 10,
+        5: 5, 7: 5,
+        100: 100, 101: 100, 102: 100, 103: 100, 104: 100,
+    }
+    # empty input -> empty output with the right schema
+    empty = spark.createDataFrame([], "doc1 long, doc2 long")
+    out = dup_clusters(empty)
+    assert out.columns == ["doc_id", "cluster_id"] and out.count() == 0
