@@ -82,6 +82,10 @@ class IndexManager:
         self.cfg = cfg or EngineConfig()
         self.n_parts = n_parts
         self.n_shards = n_shards
+        # facade instances cached per name (the reference's instance
+        # cache, manager.py:63); SearchIndex's reader self-revalidates
+        # against meta mtime, so cached instances see updates
+        self._open_cache: dict[str, object] = {}
         os.makedirs(base_path, exist_ok=True)
 
     # --- helpers -------------------------------------------------------------
@@ -152,6 +156,7 @@ class IndexManager:
 
     def delete_index(self, name: str) -> None:
         d = self._require(name)
+        self._open_cache.pop(name, None)
         shutil.rmtree(d)
 
     # --- ingest / query ------------------------------------------------------
@@ -184,11 +189,18 @@ class IndexManager:
         return self._info(name)
 
     def open(self, name: str):
-        """SearchIndex facade over a named (non-empty) index."""
+        """SearchIndex facade over a named (non-empty) index (instances
+        cached; update visibility comes from the reader's meta-mtime
+        revalidation)."""
+        cached = self._open_cache.get(name)
+        if cached is not None and self._is_index(name):
+            return cached
         d = self._require(name)
         meta = IndexCatalog(d).read_meta()
         if meta.get("empty"):
             raise FileNotFoundError(f"Index {name!r} is empty — ingest first")
         from iscc_search_spark.plans.search import SearchIndex
 
-        return SearchIndex(self.spark, d)
+        ix = SearchIndex(self.spark, d)
+        self._open_cache[name] = ix
+        return ix

@@ -72,6 +72,21 @@ class SearchIndex:
             .select("rank", "doc_id", "score")
         )
 
+    def get_doc(self, doc_id: int) -> dict:
+        """Stored metadata of one document (the reference's get_asset,
+        protocols/index.py + remote/client.py:229-243): KeyError if the
+        doc is not indexed."""
+        rows = (
+            self.spark.read.parquet(self.cat.docs)
+            .filter(F.col("doc_id") == doc_id)
+            .select("doc_id", "url", "lang", "doc_len", "simhash", "instance")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"doc_id {doc_id} not indexed")
+        return rows[0].asDict()
+
     def near_duplicates(self, max_hamming: int = 6) -> DataFrame:
         """Corpus-wide simhash near-dup pairs from the docs sidecar."""
         docs = self.spark.read.parquet(self.cat.docs).select("doc_id", "simhash")

@@ -118,6 +118,11 @@ class RemoteIndex:
             results.extend(out["results"])
         return results
 
+    def get_asset(self, name: str, doc_id: int) -> dict:
+        """Stored metadata of one indexed document (client.py:229-243);
+        FileNotFoundError if the index or doc is unknown."""
+        return self._request("GET", f"/indexes/{name}/assets/{doc_id}")
+
     def search(self, name: str, query: str, k: int = 10) -> list[dict]:
         return self._request(
             "GET", f"/indexes/{name}/search", params={"q": query, "k": k}

@@ -120,6 +120,12 @@ class SearchApp:
 
             out = bm25_wand_topk_local(self.index.reader, q, k=k)
             return 200, out.to_dict(orient="records")
+        if path == "/doc":
+            doc_id = self._int(params, "doc_id")
+            try:
+                return 200, self.index.get_doc(doc_id)
+            except KeyError:
+                raise ApiError(404, f"doc_id {doc_id} not indexed")
         if path == "/more_like_this":
             doc_id = self._int(params, "doc_id")
             k = self._int(params, "k", 10)
@@ -172,6 +178,20 @@ class RegistryApp:
                 if method == "DELETE":
                     m.delete_index(name)
                     return 204, None
+            if (
+                len(parts) == 4
+                and parts[0] == "indexes"
+                and parts[2] == "assets"
+                and method == "GET"
+            ):
+                try:
+                    doc_id = int(parts[3])
+                except ValueError:
+                    raise ApiError(400, f"invalid doc_id: {parts[3]!r}")
+                try:
+                    return 200, m.open(parts[1]).get_doc(doc_id)
+                except KeyError:
+                    raise ApiError(404, f"doc_id {doc_id} not indexed")
             if len(parts) == 3 and parts[0] == "indexes":
                 name, tail = parts[1], parts[2]
                 if tail == "assets" and method == "POST":

@@ -116,3 +116,21 @@ def test_application_errors_not_retried(registry):
     with pytest.raises(FileNotFoundError):
         c.get_index("ghost")
     assert calls["n"] == 1  # exactly one request, no retries
+
+
+def test_get_asset_roundtrip(registry, pages_df):
+    c = RemoteIndex(registry, base_delay=0.01)
+    c.create_index("assets")
+    rows = _rows(pages_df, 20)
+    c.add_assets("assets", rows)
+    from iscc_search_spark.corpus import doc_id_for_url
+
+    did = doc_id_for_url(rows[0]["url"])
+    doc = c.get_asset("assets", did)
+    assert doc["doc_id"] == did and doc["url"] == rows[0]["url"]
+    assert doc["doc_len"] > 0
+    with pytest.raises(FileNotFoundError):
+        c.get_asset("assets", 12345)
+    with pytest.raises(FileNotFoundError):
+        c.get_asset("ghost", did)
+    c.delete_index("assets")
