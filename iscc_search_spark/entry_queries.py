@@ -577,6 +577,56 @@ rr AS (SELECT a AS doc_id, a AS lab FROM e
        SELECT e.b, rr.lab FROM rr JOIN e ON e.a = rr.doc_id)
 SELECT doc_id, CAST(min(lab) AS BIGINT) AS cluster_id FROM rr GROUP BY doc_id"""
 
+    # --- eval-set decontamination (training-pipeline op) --------------------
+    # benchmark 0 = doc 1's first 20 tokens verbatim (leaked into the
+    # corpus by construction); benchmark 1 matches nothing
+    BENCH_SETS = [
+        (0, " ".join(GRANULAR_QUERY_TEXT.split()[:20])),
+        (1, "zzzeval held out sample that no training document contains"),
+    ]
+    DECON_NGRAM, DECON_T = 5, 0.3
+
+    def decontaminate(spark, sf):
+        from iscc_search_spark.operators.dedup import benchmark_contamination
+
+        bench = spark.createDataFrame(BENCH_SETS, "bench_id long, text string")
+        out = benchmark_contamination(
+            _t(spark, sf, "documents"), bench,
+            ngram=DECON_NGRAM, threshold=DECON_T,
+        )
+        return out.withColumn("containment", F.round("containment", 6))
+
+    queries["q_benchmark_decontamination"] = decontaminate
+    _dec_rows = []
+    for bid, btxt in BENCH_SETS:
+        toks = tokenize_py(btxt)
+        grams = sorted(
+            {
+                " ".join(toks[i : i + DECON_NGRAM])
+                for i in range(len(toks) - DECON_NGRAM + 1)
+            }
+        )
+        _dec_rows += [(bid, g) for g in grams]
+    _dec_vals = ", ".join(
+        "({}, '{}')".format(bid, g.replace("'", "''")) for bid, g in _dec_rows
+    )
+    _dec_arr = (
+        f"list_distinct(list_transform(range(1, len({ARR}) - {DECON_NGRAM - 2}), "
+        + "i -> "
+        + " || ' ' || ".join(f"{ARR}[i + {j}]" for j in range(DECON_NGRAM))
+        + "))"
+    )
+    oracles["q_benchmark_decontamination"] = f"""
+WITH b AS (SELECT * FROM (VALUES {_dec_vals}) b(bench_id, s)),
+bn AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_bench FROM b GROUP BY bench_id),
+dsh AS (SELECT doc_id, unnest({_dec_arr}) AS s FROM documents),
+i AS (SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS inter
+      FROM dsh JOIN b USING (s) GROUP BY doc_id, bench_id)
+SELECT doc_id, CAST(bench_id AS BIGINT) AS bench_id,
+       round(CAST(inter AS DOUBLE) / CAST(n_bench AS DOUBLE), 6) AS containment
+FROM i JOIN bn USING (bench_id)
+WHERE CAST(inter AS DOUBLE) / CAST(n_bench AS DOUBLE) >= {_d(DECON_T)}"""
+
     # --- ANN over embeddings (J3 similarity-join family) -------------------
     def annq(spark, sf):
         out = ann.cosine_topk(_t(spark, sf, "embeddings"), ANN_QUERY_ID, k=10)

@@ -282,3 +282,49 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    ngram: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bench_id, containment) — eval-set DECONTAMINATION: flag
+    training documents whose distinct n-gram overlap with a benchmark
+    text reaches ``threshold`` of the benchmark's n-grams
+    (containment = |ngrams(doc) ∩ ngrams(bench)| / |ngrams(bench)| —
+    the standard leakage check training pipelines run against held-out
+    eval sets before training).
+
+    Scale shape: the benchmark side is small by definition (eval sets),
+    so its shingles BROADCAST; the corpus side is one shingle explode +
+    a broadcast-hash semi-ish join + a map-side-combinable count — never
+    a doc×bench cross join, and the 100 TB corpus is touched once.
+    Integer counts all the way; the final division is the only float op
+    (bit-identical across engines)."""
+    bsh = bench.select(
+        F.col("bench_id"),
+        F.explode(F.array_distinct(_shingles_expr(text_col, ngram))).alias("s"),
+    )
+    bsizes = bsh.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
+    dsh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_shingles_expr(text_col, ngram))).alias("s"),
+    )
+    inter = (
+        dsh.join(F.broadcast(bsh), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(bsizes), "bench_id")
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.col("n_bench").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("doc_id", "bench_id", "containment")
+    )

@@ -231,3 +231,30 @@ def test_dup_clusters_transitive_components(spark):
     empty = spark.createDataFrame([], "doc1 long, doc2 long")
     out = dup_clusters(empty)
     assert out.columns == ["doc_id", "cluster_id"] and out.count() == 0
+
+
+def test_benchmark_contamination_semantics(spark):
+    """Containment = |ngrams(doc) ∩ ngrams(bench)| / |ngrams(bench)|; a
+    verbatim-leaked benchmark reads 1.0, partial overlap the exact
+    fraction, disjoint docs absent."""
+    from iscc_search_spark.operators.dedup import benchmark_contamination
+
+    bench_txt = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks, 4 5-grams
+    docs = spark.createDataFrame(
+        [
+            (1, "xx " + bench_txt + " yy"),             # full leak -> 1.0
+            (2, "alpha beta gamma delta epsilon pad"),  # 1 of 4 grams
+            (3, "totally different words only here"),   # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, bench_txt)], "bench_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["containment"]
+        for r in benchmark_contamination(
+            docs, bench, ngram=5, threshold=0.2
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: 0.25}
