@@ -80,11 +80,23 @@ def minhash_signatures(
     ngram: int = 1,
     seed: int = 42,
 ) -> DataFrame:
-    """(doc_id, m0..m{n_perm-1}) minhash signature over the shingle set."""
+    """(doc_id, m0..m{n_perm-1}) minhash signature over the shingle set.
+
+    The input is re-spread to the session's default parallelism first: a
+    small-file corpus otherwise scans in a handful of tasks and the
+    md5 + 16-permutation work (the dominant cost, measured 13 s of a
+    19 s sf0.1 pipeline on 5 input partitions) runs on as many cores as
+    there are files.  Values are unchanged — groupBy(doc_id) follows."""
     a, b = minhash_params(n_perm, seed)
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(_shingles_expr(text_col, ngram))).alias("shingle"),
+    spread = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if spread.rdd.getNumPartitions() < par:
+        spread = spread.repartition(par)
+    sh = spread.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_shingles_expr(text_col, ngram))
+        ).alias("shingle"),
     )
     h = sh.withColumn("h32", h32_expr("shingle"))
     aggs = [
@@ -166,16 +178,23 @@ def jaccard_verify(
     docs only (semi-join pruned) — integers all the way, so the final
     division is the only float op (bit-identical across engines).
     """
-    shing = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(_shingles_expr(text_col, ngram))).alias("s"),
-    )
     cand_docs = (
         pairs.select(F.col("doc1").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
         .distinct()
     )
-    shing = shing.join(cand_docs, "doc_id", "left_semi")
+    # prune to candidate docs BEFORE the shingle explode (exploding the
+    # whole corpus and semi-joining after multiplied the generate work by
+    # corpus/candidates — measured 4.8 s of a 19 s sf0.1 pipeline)
+    # (no broadcast hint: the candidate set can be corpus-scale in a real
+    # dedup run — AQE picks broadcast when it is actually small)
+    pruned = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col)
+    ).join(cand_docs, "doc_id", "left_semi")
+    shing = pruned.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles_expr(text_col, ngram))).alias("s"),
+    )
     sizes = shing.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         pairs.join(
@@ -217,8 +236,17 @@ def minhash_dedup(
     Set ``max_bucket`` (e.g. 1000) at web scale to bound degenerate LSH
     buckets; leave None for exact recall (see lsh_candidate_pairs).
     """
-    sigs = minhash_signatures(docs, text_col, id_col, n_perm, ngram, seed)
-    pairs = lsh_candidate_pairs(sigs, n_perm, n_bands, max_bucket)
+    # materialize the signature and candidate stages once (lazy
+    # localCheckpoint): the LSH self-join references sigs on both sides
+    # and the verify joins pairs twice — without a cut, the md5 +
+    # n_perm-permutation lineage (the pipeline's dominant cost) re-runs
+    # per reference
+    sigs = minhash_signatures(
+        docs, text_col, id_col, n_perm, ngram, seed
+    ).localCheckpoint(eager=False)
+    pairs = lsh_candidate_pairs(sigs, n_perm, n_bands, max_bucket).localCheckpoint(
+        eager=False
+    )
     return jaccard_verify(docs, pairs, text_col, id_col, ngram, threshold)
 
 
