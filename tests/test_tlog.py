@@ -126,3 +126,37 @@ def test_records_df_feeds_spark(spark):
     # and a byte-level truncation fails in the decoder itself
     with pytest.raises(ValueError, match="truncated"):
         records_df(spark, [(idx0, 0, data0[:-3])], 0)
+
+
+def test_records_feed_index_maintenance(spark, tmp_path):
+    """Composition: fetch plan -> bundle decode -> records_df -> url-keyed
+    upsert into a live named index (the aggregator's poll-then-index loop,
+    poller.py:113-144, over the Spark maintenance path)."""
+    from pyspark.sql import functions as F
+
+    from iscc_search_spark.manager import IndexManager
+
+    # synthesize one full bundle + one partial, records = page payloads
+    def frame(recs):
+        return b"".join(len(r).to_bytes(2, "big") + r for r in recs)
+
+    def rec(i):
+        return f"http://log.test/{i}\ttlog record body {i} qqtlog".encode()
+
+    full = frame([rec(i) for i in range(TILE_RECORDS)])
+    part = frame([rec(TILE_RECORDS + i) for i in range(3)])
+    plan = fetch_plan(0, TILE_RECORDS + 3)
+    assert plan == [(0, 0), (1, 3)]
+    df = records_df(spark, [(0, 0, full), (1, 3, part)], cursor=0)
+    pages = df.select(
+        F.split(F.decode("record", "UTF-8"), "\t").getItem(0).alias("url"),
+        F.split(F.decode("record", "UTF-8"), "\t").getItem(1).alias("text"),
+        F.lit("und").alias("lang"),
+    )
+    mgr = IndexManager(spark, str(tmp_path / "root"), n_parts=4, n_shards=4)
+    mgr.create_index("agg")
+    info = mgr.add_assets("agg", pages)
+    assert info["assets"] == TILE_RECORDS + 3
+    ix = mgr.open("agg")
+    hits = ix.search("qqtlog", k=5, with_metadata=False).collect()
+    assert len(hits) == 5
