@@ -45,9 +45,11 @@ _COMPONENTS = (
 )
 
 
-def validate_index_name(name: str) -> None:
-    """Reference name rule: ^[a-z][a-z0-9]*$ (indexes/common.py:202-220)."""
-    if not INDEX_NAME_RE.match(name or ""):
+def validate_index_name(name) -> None:
+    """Reference name rule: ^[a-z][a-z0-9]*$ (indexes/common.py:202-220).
+    Non-string input is a ValueError too (the HTTP layer maps it to 400,
+    never a 500)."""
+    if not isinstance(name, str) or not INDEX_NAME_RE.match(name):
         raise ValueError(
             f"Invalid index name: {name!r}. Must match ^[a-z][a-z0-9]*$"
         )

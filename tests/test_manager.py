@@ -80,3 +80,9 @@ def test_ingest_sizes_and_open(mgr, spark, pages_df):
     drop = [r["url"] for r in pages_df.select("url").orderBy("url").limit(5).collect()]
     info3 = mgr.remove_assets("corpus", drop)
     assert info3["assets"] == pages_df.count() - 5
+
+
+def test_non_string_name_is_value_error():
+    for bad in (None, 7, ["a"], {"n": 1}):
+        with pytest.raises(ValueError):
+            validate_index_name(bad)
