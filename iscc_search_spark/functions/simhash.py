@@ -223,21 +223,35 @@ def simhash128_from_tf(
     return out[0], out[1]
 
 
+_TERM128_CACHE: dict[str, tuple[int, int]] = {}
+_TERM128_CACHE_MAX = 1 << 21  # bounded: bigram vocab is Zipf but open-ended
+
+
 def _hash_terms_flat128(sub_terms: list[np.ndarray], total: int) -> np.ndarray:
     """(total, 2) uint64 md5 limbs per flat term — ONE md5 per unique
-    string (factorized batch), both limbs from the same digest."""
+    string (factorized batch), both limbs from the same digest, with a
+    bounded process-lifetime cache (segment features are word bigrams
+    that repeat heavily across documents; the cache resets rather than
+    grows past _TERM128_CACHE_MAX)."""
     flat = np.empty(total, dtype=object)
     pos = 0
     for tl in sub_terms:
         flat[pos : pos + len(tl)] = tl
         pos += len(tl)
     codes, uniq = pd.factorize(flat)
+    if len(_TERM128_CACHE) > _TERM128_CACHE_MAX:
+        _TERM128_CACHE.clear()
     md5 = hashlib.md5
+    cache = _TERM128_CACHE
     hashed = np.empty((len(uniq), 2), dtype=np.uint64)
     for i, t in enumerate(uniq):
-        d = md5(t.encode("utf-8")).digest()
-        hashed[i, 0] = int.from_bytes(d[:8], "big")
-        hashed[i, 1] = int.from_bytes(d[8:16], "big")
+        hl = cache.get(t)
+        if hl is None:
+            d = md5(t.encode("utf-8")).digest()
+            hl = (int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big"))
+            cache[t] = hl
+        hashed[i, 0] = hl[0]
+        hashed[i, 1] = hl[1]
     return hashed[codes]
 
 
