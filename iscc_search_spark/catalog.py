@@ -42,6 +42,28 @@ from __future__ import annotations
 import json
 import os
 
+# On-disk format version, bumped whenever the persisted schema/semantics
+# change incompatibly.  2 = 128-bit bigram-shingle segment simprints (the
+# segs struct gained sh_lo; segment features switched from unigram bags to
+# word-bigram shingles).  Indexes written before the field existed read as
+# version 1 and are refused — mixed 64/128-bit simprint semantics would
+# silently break granular-search recall, and pre-sh_lo part files would
+# surface as nulls or an AnalysisException depending on schema sampling.
+FORMAT_VERSION = 2
+
+
+def check_format(meta: dict, where: str) -> None:
+    """Refuse to operate on an index whose persisted format differs from
+    this engine's.  The remedy is a derived rebuild from pages (docs is
+    itself versioned — stage A wrote the old segs struct too)."""
+    v = int(meta.get("format_version", 1))
+    if v != FORMAT_VERSION:
+        raise RuntimeError(
+            f"{where}: index format_version={v} but engine expects "
+            f"{FORMAT_VERSION}; rebuild the index (build_index) before "
+            "querying or updating it"
+        )
+
 
 class IndexCatalog:
     def __init__(self, index_dir: str):

@@ -224,7 +224,13 @@ def simhash128_from_tf(
 
 
 _TERM128_CACHE: dict[str, tuple[int, int]] = {}
-_TERM128_CACHE_MAX = 1 << 21  # bounded: bigram vocab is Zipf but open-ended
+# bounded: bigram vocab is Zipf but open-ended.  2^18 entries ≈ 40-75 MB
+# of dict per Python worker (key str + 2-int tuple ≈ 160-290 B each); with
+# tens of Arrow workers per host that stays under ~2 GB host-wide, where
+# the old 2^21 cap allowed multi-GB per worker before clearing.  The clear
+# happens BEFORE the insert that would exceed the cap (inside
+# _hash_terms_flat128), so the dict never grows past the bound.
+_TERM128_CACHE_MAX = 1 << 18
 
 
 def _hash_terms_flat128(sub_terms: list[np.ndarray], total: int) -> np.ndarray:
@@ -239,16 +245,17 @@ def _hash_terms_flat128(sub_terms: list[np.ndarray], total: int) -> np.ndarray:
         flat[pos : pos + len(tl)] = tl
         pos += len(tl)
     codes, uniq = pd.factorize(flat)
-    if len(_TERM128_CACHE) > _TERM128_CACHE_MAX:
-        _TERM128_CACHE.clear()
     md5 = hashlib.md5
     cache = _TERM128_CACHE
+    cap = _TERM128_CACHE_MAX
     hashed = np.empty((len(uniq), 2), dtype=np.uint64)
     for i, t in enumerate(uniq):
         hl = cache.get(t)
         if hl is None:
             d = md5(t.encode("utf-8")).digest()
             hl = (int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big"))
+            if len(cache) >= cap:
+                cache.clear()
             cache[t] = hl
         hashed[i, 0] = hl[0]
         hashed[i, 1] = hl[1]

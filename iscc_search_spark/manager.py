@@ -27,7 +27,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-from iscc_search_spark.catalog import IndexCatalog
+from iscc_search_spark.catalog import FORMAT_VERSION, IndexCatalog
 from iscc_search_spark.config import EngineConfig
 
 INDEX_NAME_RE = re.compile(r"^[a-z][a-z0-9]*$")
@@ -141,7 +141,10 @@ class IndexManager:
         if os.path.exists(d):
             raise FileExistsError(f"Index {name!r} already exists")
         os.makedirs(d)
-        IndexCatalog(d).write_meta({"n_docs": 0, "avgdl": 0.0, "empty": True})
+        IndexCatalog(d).write_meta(
+            {"format_version": FORMAT_VERSION, "n_docs": 0, "avgdl": 0.0,
+             "empty": True}
+        )
         return self._info(name)
 
     def list_indexes(self) -> list[dict]:
@@ -171,12 +174,23 @@ class IndexManager:
         if meta.get("empty"):
             from iscc_search_spark.operators.build import build_index
 
-            shutil.rmtree(d, ignore_errors=True)
-            build_index(
-                self.spark, pages, d, cfg=self.cfg,
-                n_parts=self.n_parts, n_shards=self.n_shards,
-                group_size=self.n_parts,
-            )
+            # build into a temp sibling and swap on success — the empty
+            # index's durable registration (meta.json) must survive a
+            # failed first build (bad rows, OOM); rmtree-then-build would
+            # silently drop the name from the registry on the error path
+            tmp = d + ".build"
+            shutil.rmtree(tmp, ignore_errors=True)
+            try:
+                build_index(
+                    self.spark, pages, tmp, cfg=self.cfg,
+                    n_parts=self.n_parts, n_shards=self.n_shards,
+                    group_size=self.n_parts,
+                )
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            shutil.rmtree(d)
+            os.rename(tmp, d)
         else:
             from iscc_search_spark.operators.build import upsert_docs
 

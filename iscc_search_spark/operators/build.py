@@ -49,6 +49,7 @@ Scale notes (100 TB / 10^12 docs):
 from __future__ import annotations
 
 import hashlib
+import os
 import time
 from dataclasses import dataclass
 
@@ -59,7 +60,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iscc_search_spark.catalog import IndexCatalog
+from iscc_search_spark.catalog import FORMAT_VERSION, IndexCatalog, check_format
 from iscc_search_spark.config import DEFAULT, EngineConfig
 from iscc_search_spark.functions import codec
 from iscc_search_spark.functions.hashing import doc_id_udf, instance_expr
@@ -528,6 +529,7 @@ def load_simprints(spark: SparkSession, index_dir: str) -> DataFrame:
     """(doc_id, seg_idx, n_tokens, offset, size, simhash, sh_lo)
     persisted — simhash/sh_lo are the 128-bit simprint's limbs."""
     cat = IndexCatalog(index_dir)
+    check_format(cat.read_meta(), "load_simprints")
     return spark.read.parquet(cat.simprints).select(
         "doc_id", "seg_idx", "n_tokens", "offset", "size", "simhash", "sh_lo"
     )
@@ -755,6 +757,7 @@ def _write_index_meta(
 ) -> None:
     cat.write_meta(
         {
+            "format_version": FORMAT_VERSION,
             "n_docs": n_docs,
             "avgdl": avgdl,
             "n_shards": n_shards,
@@ -1171,6 +1174,8 @@ def upsert_docs(
     ``incremental=False`` to force a full stage-B rebuild instead.
     Returns the affected part list."""
     cat = IndexCatalog(index_dir)
+    if os.path.exists(cat.meta_path):
+        check_format(cat.read_meta(), "upsert_docs")
     ckpt, n_parts = _require_ckpt_parts(spark, cat)
     h1, h2 = _row_hash_cols()
     delta = _normalize_input(_dedupe_delta(pages)).withColumn(
@@ -1230,6 +1235,8 @@ def delete_docs(
     postings/units/simprints incrementally (see upsert_docs).  Returns the
     affected part list."""
     cat = IndexCatalog(index_dir)
+    if os.path.exists(cat.meta_path):
+        check_format(cat.read_meta(), "delete_docs")
     ckpt, n_parts = _require_ckpt_parts(spark, cat)
     dead = spark.createDataFrame([(u,) for u in urls], "url string").withColumn(
         "part", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")

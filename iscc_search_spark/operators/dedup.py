@@ -309,6 +309,32 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         ).localCheckpoint(eager=False)
         if changed == 0:
             break
+        # pointer doubling: label <- label(label).  Labels are vertex ids
+        # with label(v) <= v (monotone min updates), so chasing one hop
+        # halves the remaining distance to the component minimum — total
+        # rounds become O(log diameter) instead of O(diameter), and a
+        # boilerplate family with a 10^4-long dup chain converges in ~14
+        # rounds rather than silently splitting at max_iter.  The fixpoint
+        # is unchanged: the changed==0 exit above fires only when every
+        # vertex already holds its component minimum.
+        parents = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
+        labels = (
+            labels.join(parents, labels.cluster_id == parents.p_id, "left")
+            .select(
+                "doc_id",
+                F.coalesce("p_label", "cluster_id").alias("cluster_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        # max_iter exhausted with changed > 0: labels would be split and
+        # silently wrong — refuse rather than return bad cluster ids
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter"
+        )
     return labels
 
 

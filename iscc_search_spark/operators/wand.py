@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iscc_search_spark.catalog import IndexCatalog
+from iscc_search_spark.catalog import IndexCatalog, check_format
 from iscc_search_spark.functions import codec
 from iscc_search_spark.functions.textnorm import tokenize_py
 from iscc_search_spark.operators.build import _bucket_of
@@ -97,6 +97,7 @@ class IndexReader:
 
         self._meta_mtime = os.stat(self.cat.meta_path).st_mtime_ns
         self.meta = self.cat.read_meta()
+        check_format(self.meta, "IndexReader")
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
         self.k1 = float(self.meta["bm25"]["k1"])

@@ -40,6 +40,11 @@ class RemoteIndex:
         timeout: float = 300.0,
         opener=urllib.request.urlopen,
     ):
+        if max_retries < 1:
+            # the attempt loop must execute at least once — with 0 it
+            # would fall through to `raise last` with last=None (a
+            # confusing TypeError instead of a transport error)
+            raise ValueError("max_retries must be >= 1")
         self.base_url = base_url.rstrip("/")
         self.chunk_size = chunk_size
         self.max_retries = max_retries
