@@ -8,8 +8,11 @@ errors only — connection/timeout failures between client and server
 (client.py:206-225).  HTTP status responses are application errors and
 are NEVER retried; they map back to the same exceptions the local
 IndexManager raises (400 -> ValueError, 404 -> FileNotFoundError,
-409 -> FileExistsError, else RuntimeError), so callers can swap
-IndexManager and RemoteIndex without changing error handling.
+409 -> FileExistsError, 401/403 -> PermissionError, else RuntimeError),
+so callers can swap IndexManager and RemoteIndex without changing error
+handling.  ``api_key`` is sent as the reference's ``X-API-Key`` header
+(server/auth.py:10); auth failures are application errors, so a wrong
+key costs exactly one request — no backoff loop against a 401.
 
 stdlib urllib only (zero new dependencies, same discipline as server.py);
 ``opener`` is injectable for tests to fault-inject transient failures.
@@ -39,6 +42,7 @@ class RemoteIndex:
         base_delay: float = 1.0,
         timeout: float = 300.0,
         opener=urllib.request.urlopen,
+        api_key: str | None = None,
     ):
         if max_retries < 1:
             # the attempt loop must execute at least once — with 0 it
@@ -50,6 +54,7 @@ class RemoteIndex:
         self.max_retries = max_retries
         self.base_delay = base_delay
         self.timeout = timeout
+        self.api_key = api_key
         self._open = opener
 
     # --- transport -----------------------------------------------------------
@@ -66,10 +71,12 @@ class RemoteIndex:
             url += "?" + urllib.parse.urlencode(params)
         data = None if body is None else json.dumps(body).encode("utf-8")
         last: Exception | None = None
+        headers = {"Content-Type": "application/json"}
+        if self.api_key is not None:
+            headers["X-API-Key"] = self.api_key
         for attempt in range(1, self.max_retries + 1):
             req = urllib.request.Request(
-                url, data=data, method=method,
-                headers={"Content-Type": "application/json"},
+                url, data=data, method=method, headers=headers,
             )
             try:
                 with self._open(req, timeout=self.timeout) as resp:
@@ -82,6 +89,8 @@ class RemoteIndex:
                     msg = json.loads(e.read() or b"{}").get("error", str(e))
                 except Exception:
                     msg = str(e)
+                if e.code in (401, 403):
+                    raise PermissionError(msg) from None
                 if e.code == 400:
                     raise ValueError(msg) from None
                 if e.code == 404:

@@ -37,6 +37,17 @@ Error mapping mirrors the reference: missing/invalid parameters -> 400,
 unknown doc_id/index -> 404, create-exists -> 409 (server/search.py:31-44).
 Responses are JSON rows.
 
+Auth mirrors the reference's key check + aggregator guard
+(server/auth.py:29-45, exercised by tests/test_server_auth.py):
+``api_secret=None`` (default) is public mode — no authentication;
+when set, every route except /health requires a matching ``X-API-Key``
+header (constant-time compare) and failures get 401 {"error":
+"Unauthorized"}.  ``aggregator_mode=True`` (registry mode) suppresses the
+index-mutating surface — /indexes CRUD and asset ingest — with a
+route-hiding 404, and restricts reads (search/stats/assets) to
+``aggregator_index``; the guard resolves BEFORE auth, so a key-less
+request to a suppressed endpoint sees 404, never 401 (auth.py:14-21).
+
 Queries run on the server's long-lived SparkSession; the underlying
 IndexReader revalidates against meta.json mtime per query, so in-place
 upsert/delete are picked up without restarting the server.
@@ -45,6 +56,7 @@ upsert/delete are picked up without restarting the server.
 from __future__ import annotations
 
 import json
+import secrets
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -231,17 +243,36 @@ class RegistryApp:
         raise ApiError(404, f"no such endpoint: {method} {path}")
 
 
+def _aggregator_guard(method: str, parts: list[str], aggregator_index: str) -> None:
+    """Route-hiding 404s of the reference's aggregator mode
+    (server/auth.py:12-42): the whole /indexes CRUD surface and asset
+    ingest are suppressed; reads (search/stats/asset-get) are allowed on
+    the aggregator's own derived index only."""
+    if parts[:1] == ["indexes"]:
+        if len(parts) <= 2:
+            # list/create (len 1) and get/delete (len 2): all suppressed
+            raise ApiError(404, "Not Found")
+        if parts[2] == "assets" and method == "POST":
+            raise ApiError(404, "Not Found")  # ingest suppressed
+        if parts[1] != aggregator_index:
+            raise ApiError(404, "Not Found")  # foreign-index read hidden
+
+
 def make_server(
     spark,
     index_dir: str | None = None,
     host: str = "127.0.0.1",
     port: int = 0,
     base_path: str | None = None,
+    api_secret: str | None = None,
+    aggregator_mode: bool = False,
+    aggregator_index: str = "idp",
 ):
     """ThreadingHTTPServer bound to (host, port); port=0 picks a free one.
     Pass ``index_dir`` for single-index mode or ``base_path`` for the
-    named-index registry.  Returns the server; run with serve_forever()
-    (or in a thread)."""
+    named-index registry.  ``api_secret`` enables protected mode (see
+    module docstring); ``aggregator_mode`` hides the mutating surface.
+    Returns the server; run with serve_forever() (or in a thread)."""
     if (index_dir is None) == (base_path is None):
         raise ValueError("pass exactly one of index_dir / base_path")
     single = SearchApp(spark, index_dir) if index_dir else None
@@ -260,6 +291,15 @@ def make_server(
                     self._write(400, {"error": "invalid JSON body"})
                     return
             try:
+                # aggregator suppression resolves BEFORE auth: a key-less
+                # request to a hidden endpoint gets 404, never 401
+                parts = [p for p in u.path.split("/") if p]
+                if aggregator_mode and registry is not None:
+                    _aggregator_guard(method, parts, aggregator_index)
+                if api_secret is not None and u.path != "/health":
+                    key = self.headers.get("X-API-Key")
+                    if key is None or not secrets.compare_digest(key, api_secret):
+                        raise ApiError(401, "Unauthorized")
                 if registry is not None:
                     status, out = registry.handle(method, u.path, params, body)
                 elif method == "GET":
@@ -306,9 +346,12 @@ def serve_in_thread(
     host: str = "127.0.0.1",
     port: int = 0,
     base_path: str | None = None,
+    **kw,
 ):
-    """Start the server on a daemon thread; returns (server, base_url)."""
-    srv = make_server(spark, index_dir, host, port, base_path=base_path)
+    """Start the server on a daemon thread; returns (server, base_url).
+    Extra keywords (api_secret, aggregator_mode, aggregator_index) pass
+    through to make_server."""
+    srv = make_server(spark, index_dir, host, port, base_path=base_path, **kw)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     h, p = srv.server_address
