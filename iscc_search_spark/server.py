@@ -32,6 +32,9 @@ NAMED-index surface the reference's RemoteIndex client drives
                                              rows; build-then-upsert)
     GET    /indexes/{name}/search?q=&k=   -> BM25 top-k on that index
     GET    /indexes/{name}/stats          -> per-index stats
+    GET    /status                        -> deployment mode + per-hub
+                                             aggregator ingestion table
+                                             (public, auth-exempt)
 
 Error mapping mirrors the reference: missing/invalid parameters -> 400,
 unknown doc_id/index -> 404, create-exists -> 409 (server/search.py:31-44).
@@ -243,6 +246,35 @@ class RegistryApp:
         raise ApiError(404, f"no such endpoint: {method} {path}")
 
 
+def _status_payload(registry, aggregator_mode: bool, aggregator_index: str, poller):
+    """Public /status body (reference server/frontend.py:55-74,119-140):
+    deployment mode + the per-hub ingestion table from the poller, with
+    last_poll rendered ISO-8601 and raw errors replaced by a generic
+    marker so anonymous callers never see internal strings.  Exempt from
+    auth, like /health."""
+    from datetime import datetime, timezone
+
+    out = {"status": "ok", "mode": "aggregator" if aggregator_mode else "normal"}
+    if aggregator_mode:
+        out["index"] = aggregator_index
+        try:
+            out["assets"] = registry.manager.get_index(aggregator_index)["assets"]
+        except FileNotFoundError:
+            out["assets"] = 0
+    if poller is not None:
+        hubs = []
+        for row in poller.status_rows():
+            if row["last_poll"] is not None:
+                row["last_poll"] = datetime.fromtimestamp(
+                    row["last_poll"], tz=timezone.utc
+                ).isoformat()
+            if row["error"] is not None:
+                row["error"] = "poll failed"
+            hubs.append(row)
+        out["hubs"] = hubs
+    return out
+
+
 def _aggregator_guard(method: str, parts: list[str], aggregator_index: str) -> None:
     """Route-hiding 404s of the reference's aggregator mode
     (server/auth.py:12-42): the whole /indexes CRUD surface and asset
@@ -267,6 +299,7 @@ def make_server(
     api_secret: str | None = None,
     aggregator_mode: bool = False,
     aggregator_index: str = "idp",
+    poller=None,
 ):
     """ThreadingHTTPServer bound to (host, port); port=0 picks a free one.
     Pass ``index_dir`` for single-index mode or ``base_path`` for the
@@ -296,11 +329,15 @@ def make_server(
                 parts = [p for p in u.path.split("/") if p]
                 if aggregator_mode and registry is not None:
                     _aggregator_guard(method, parts, aggregator_index)
-                if api_secret is not None and u.path != "/health":
+                if api_secret is not None and u.path not in ("/health", "/status"):
                     key = self.headers.get("X-API-Key")
                     if key is None or not secrets.compare_digest(key, api_secret):
                         raise ApiError(401, "Unauthorized")
-                if registry is not None:
+                if u.path == "/status" and registry is not None and method == "GET":
+                    status, out = 200, _status_payload(
+                        registry, aggregator_mode, aggregator_index, poller
+                    )
+                elif registry is not None:
                     status, out = registry.handle(method, u.path, params, body)
                 elif method == "GET":
                     status, out = single.handle(u.path, params)
