@@ -47,6 +47,7 @@ def main() -> None:
     )
     from iscc_search_spark.operators.build import (
         build_index,
+        load_simprint_bands2,
         load_simprints,
         load_unit_bands,
         load_units,
@@ -182,11 +183,13 @@ def main() -> None:
         )
 
         sp = load_simprints(spark, docs_idx)
+        # served by KEYED LOOKUP from the persisted C(14,2) combo2 band
+        # table (round-4 computed combo keys per query from a scan)
         timed(
             "a7_granular_combo2_persisted",
             lambda: granular_topk(
                 None, GRANULAR_QUERY_TEXT, k=10, max_hamming=12,
-                simprints=sp, combo=2,
+                bands2=load_simprint_bands2(spark, docs_idx),
             ).collect(),
         )
         if rnd == 0:  # prune selectivity is data-deterministic — once

@@ -578,11 +578,38 @@ rr AS (SELECT a AS doc_id, a AS lab FROM e
 SELECT doc_id, CAST(min(lab) AS BIGINT) AS cluster_id FROM rr GROUP BY doc_id"""
 
     # --- eval-set decontamination (training-pipeline op) --------------------
-    # benchmark 0 = doc 1's first 20 tokens verbatim (leaked into the
-    # corpus by construction); benchmark 1 matches nothing
+    # wide fixture (20 flagged (doc, bench) rows at sf0.01) spanning the
+    # threshold boundary, so the gate can distinguish the containment
+    # formula from plausible wrong ones (doc-side denominator, off-by-one
+    # gram windows, >-vs->= threshold):
+    #   benches 0-3: 9-token spans shared by near-dup DOC PAIRS -> two
+    #     rows each at containment 1.0;
+    #   benches 4-15: single-doc snippets + {0,2,5,11} out-of-corpus junk
+    #     tokens -> containments 1.0, 5/7, 0.5 and 5/16 = 0.3125 (just
+    #     ABOVE the 0.3 threshold);
+    #   benches 16-17: the bench-4/5 snippets + 12 junk tokens -> 5/17 =
+    #     0.294, just BELOW threshold (must NOT appear);
+    #   bench 18: matches nothing.
     BENCH_SETS = [
-        (0, " ".join(GRANULAR_QUERY_TEXT.split()[:20])),
-        (1, "zzzeval held out sample that no training document contains"),
+        (0, "a a a table agg line filter scan the"),
+        (1, "a big hash hash vector key a line window"),
+        (2, "a big scan agg order fast row window slow"),
+        (3, "a column batch customer value vector line group data"),
+        (4, "small stream value table merge hash big column group"),
+        (5, "the scan big window column key slow filter merge"),
+        (6, "a batch table batch spark hash row data fast"),
+        (7, "window column customer spark query the value spark spark zzx7j0 zzx7j1"),
+        (8, "slow value column join merge column slow fast part zzx8j0 zzx8j1"),
+        (9, "agg customer value vector key vector window query hash zzx9j0 zzx9j1"),
+        (10, "join the order big filter hash scan vector filter zzx10j0 zzx10j1 zzx10j2 zzx10j3 zzx10j4"),
+        (11, "the fast window a line big query group window zzx11j0 zzx11j1 zzx11j2 zzx11j3 zzx11j4"),
+        (12, "slow filter filter value filter small group scan key zzx12j0 zzx12j1 zzx12j2 zzx12j3 zzx12j4"),
+        (13, "query line key batch row sort a slow filter zzx13j0 zzx13j1 zzx13j2 zzx13j3 zzx13j4 zzx13j5 zzx13j6 zzx13j7 zzx13j8 zzx13j9 zzx13j10"),
+        (14, "the sort agg value sort window join value big zzx14j0 zzx14j1 zzx14j2 zzx14j3 zzx14j4 zzx14j5 zzx14j6 zzx14j7 zzx14j8 zzx14j9 zzx14j10"),
+        (15, "fast customer part slow spark query part order slow zzx15j0 zzx15j1 zzx15j2 zzx15j3 zzx15j4 zzx15j5 zzx15j6 zzx15j7 zzx15j8 zzx15j9 zzx15j10"),
+        (16, "small stream value table merge hash big column group zzx16j0 zzx16j1 zzx16j2 zzx16j3 zzx16j4 zzx16j5 zzx16j6 zzx16j7 zzx16j8 zzx16j9 zzx16j10 zzx16j11"),
+        (17, "the scan big window column key slow filter merge zzx17j0 zzx17j1 zzx17j2 zzx17j3 zzx17j4 zzx17j5 zzx17j6 zzx17j7 zzx17j8 zzx17j9 zzx17j10 zzx17j11"),
+        (18, "zzzeval held out sample that no training document contains"),
     ]
     DECON_NGRAM, DECON_T = 5, 0.3
 

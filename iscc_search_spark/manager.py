@@ -42,6 +42,7 @@ _COMPONENTS = (
     "simprints",
     "unit_bands",
     "simprint_bands",
+    "simprint_bands2",
 )
 
 

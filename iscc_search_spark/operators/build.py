@@ -86,6 +86,10 @@ POSTINGS_SCHEMA = (
 # gave ~5-bit keys — a 0.79-0.90 measured candidate fraction at h=12)
 UNIT_BANDS = 17
 SEG_BANDS = 13
+# two-band-combo table: 14 bands give exact recall for max_hamming <= 12
+# under combo=2 (pigeonhole: a pair within h has >= 14 - h >= 2 clean
+# bands, so at least one clean PAIR of bands); C(14, 2) = 91 keys/segment
+SEG_BANDS2 = 14
 
 
 @dataclass
@@ -394,7 +398,10 @@ def build_derived(
     if parts is not None and not parts:
         return
     docs = spark.read.parquet(cat.docs)
-    tables = (cat.units, cat.simprints, cat.unit_bands, cat.simprint_bands)
+    tables = (
+        cat.units, cat.simprints, cat.unit_bands, cat.simprint_bands,
+        cat.simprint_bands2,
+    )
     if parts is None:
         # full overwrite must not leave stale part dirs behind; cleared
         # dirs -> static committer (no per-partition staging moves)
@@ -516,6 +523,40 @@ def build_derived(
         .parquet(cat.simprint_bands)
     )
 
+    # combo2 band table: C(14, 2) two-band concatenated keys (~18 bits)
+    # per segment — the HIGH-threshold serving path (max_hamming 10..12),
+    # where the single-band table's ~10-bit keys admit ~1-2% of the table
+    # but a two-band key admits ~0.03%.  Same one-scan explode; band id =
+    # combo index, enumeration shared with the query side
+    # (operators/simprints.py:_band_combos).
+    from iscc_search_spark.operators.simprints import (
+        _band_combos,
+        _combo_key_expr,
+    )
+
+    widths2 = band_widths(SEG_BANDS2, SIMPRINT_BITS)
+    seg2_entries = [
+        F.struct(
+            F.lit(cid).alias("band"),
+            _combo_key_expr("simhash", "sh_lo", widths2, idxs).alias("key"),
+        )
+        for cid, idxs in enumerate(_band_combos(SEG_BANDS2, 2))
+    ]
+    sb2 = sp.select(
+        "part", "doc_id", "seg_idx", "simhash", "sh_lo",
+        F.explode(F.array(*seg2_entries)).alias("e"),
+    ).select(
+        "part", "doc_id", "seg_idx", "simhash", "sh_lo",
+        F.col("e.band").alias("band"), F.col("e.key").alias("key"),
+    )
+    (
+        sb2.repartitionByRange(n, "part")
+        .sortWithinPartitions("part", "band", "key")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(cat.simprint_bands2)
+    )
+
 
 def load_units(spark: SparkSession, index_dir: str) -> DataFrame:
     """(doc_id, content_sh, data_sh, instance) from the persisted table."""
@@ -547,6 +588,16 @@ def load_simprint_bands(spark: SparkSession, index_dir: str) -> DataFrame:
     (13 ~10-bit bands over the 128-bit simprint)."""
     cat = IndexCatalog(index_dir)
     return spark.read.parquet(cat.simprint_bands).select(
+        "doc_id", "seg_idx", "simhash", "sh_lo", "band", "key"
+    )
+
+
+def load_simprint_bands2(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(doc_id, seg_idx, simhash, sh_lo, band, key) combo2 lookup rows
+    (C(14,2) = 91 two-band ~18-bit keys over the 128-bit simprint; exact
+    recall for max_hamming <= 12)."""
+    cat = IndexCatalog(index_dir)
+    return spark.read.parquet(cat.simprint_bands2).select(
         "doc_id", "seg_idx", "simhash", "sh_lo", "band", "key"
     )
 

@@ -314,6 +314,8 @@ def granular_topk(
     combo: int = 1,
     bands: DataFrame | None = None,
     bands_n: int = 13,
+    bands2: DataFrame | None = None,
+    bands2_n: int = 14,
 ) -> DataFrame:
     """(rank, doc_id, score, n_matched_segs) top-k docs containing segments
     similar to the query's segments — banded-LSH candidate join over the
@@ -329,8 +331,20 @@ def granular_topk(
     bands over the 128-bit hash) to fetch candidates by KEYED LOOKUP from
     the persisted LSH table instead of banding the simprints scan per
     query; recall stays exact for max_hamming < bands_n (pigeonhole on
-    the frozen banding)."""
-    if bands is not None:
+    the frozen banding).  Pass ``bands2`` (load_simprint_bands2, written
+    as C(bands2_n, 2) two-band-combo keys) for the HIGH-threshold
+    serving path: same keyed-lookup shape but each key carries two
+    bands' bits, admitting ~40x fewer random collisions; recall stays
+    exact for max_hamming <= bands2_n - 2."""
+    if bands2 is not None:
+        if max_hamming > bands2_n - 2:
+            raise ValueError(
+                f"max_hamming={max_hamming} exceeds the persisted combo2 "
+                f"band table's exact-recall bound (bands2_n - 2 = "
+                f"{bands2_n - 2})"
+            )
+        spark = bands2.sparkSession
+    elif bands is not None:
         if max_hamming >= bands_n:
             raise ValueError(
                 f"max_hamming={max_hamming} exceeds the persisted band "
@@ -342,7 +356,7 @@ def granular_topk(
             simprints = simprints_table(docs, seg_tokens=seg_tokens)
         spark = simprints.sparkSession
     n_bands = n_bands if n_bands is not None else max_hamming + combo
-    if bands is None and max_hamming > n_bands - combo:
+    if bands is None and bands2 is None and max_hamming > n_bands - combo:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_bands >= max_hamming + combo "
             f"(got n_bands={n_bands}, combo={combo}) for exact recall"
@@ -355,7 +369,20 @@ def granular_topk(
         return empty
     n_q = len(qsegs)
 
-    if bands is not None:
+    if bands2 is not None:
+        # combo2 keyed lookup: enumeration order shared with the build
+        # writer (build.py:build_derived seg2_entries)
+        widths = band_widths(bands2_n, SIMPRINT_BITS)
+        combos = _band_combos(bands2_n, 2)
+        q_rows = []
+        for s, _, _, _, hi, lo in qsegs:
+            for cid, idxs in enumerate(combos):
+                q_rows.append((cid, _combo_key_py(hi, lo, widths, idxs), s, hi, lo))
+        q = spark.createDataFrame(
+            q_rows, "band int, key long, q_seg int, q_hi long, q_lo long"
+        )
+        cands = bands2.join(F.broadcast(q), ["band", "key"])
+    elif bands is not None:
         widths = band_widths(bands_n, SIMPRINT_BITS)
         q_rows = []
         for s, _, _, _, hi, lo in qsegs:

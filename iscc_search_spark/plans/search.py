@@ -123,10 +123,24 @@ class SearchIndex:
         self, query_text: str, k: int = 10, max_hamming: int = 8
     ) -> DataFrame:
         """Chunk-level simprint search: candidates by keyed lookup from the
-        persisted simprint band table (exact recall for max_hamming <= 12)."""
-        from iscc_search_spark.operators.build import load_simprint_bands
+        persisted simprint band tables (exact recall for max_hamming <= 12).
+        High thresholds (>= 10) route to the combo2 table, whose two-band
+        keys admit ~40x fewer random collisions than the single-band keys;
+        low thresholds use the single-band table (fewer lookup keys per
+        query segment: 13 vs 91)."""
+        import os
+
+        from iscc_search_spark.operators.build import (
+            load_simprint_bands,
+            load_simprint_bands2,
+        )
         from iscc_search_spark.operators.simprints import granular_topk
 
+        if max_hamming >= 10 and os.path.isdir(self.cat.simprint_bands2):
+            return granular_topk(
+                None, query_text, k=k, max_hamming=max_hamming,
+                bands2=load_simprint_bands2(self.spark, self.cat.root),
+            )
         return granular_topk(
             None, query_text, k=k, max_hamming=max_hamming,
             bands=load_simprint_bands(self.spark, self.cat.root),

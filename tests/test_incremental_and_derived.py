@@ -139,6 +139,24 @@ def test_band_lookup_matches_scan_filter(spark, pages_df, built):
     with pytest.raises(ValueError):  # frozen banding bound is enforced
         granular_topk(None, txt, max_hamming=13, bands=sb)
 
+    # combo2 persisted lookup: same results as the combo2 scan path AND
+    # the combo1 paths (all are exact-recall prunes over the same verify)
+    from iscc_search_spark.operators.build import load_simprint_bands2
+
+    sb2 = load_simprint_bands2(spark, built)
+    g2_scan = [
+        (r["doc_id"], r["score"]) for r in
+        granular_topk(None, txt, k=10, max_hamming=12, simprints=sp,
+                      combo=2).collect()
+    ]
+    g2_lookup = [
+        (r["doc_id"], r["score"]) for r in
+        granular_topk(None, txt, k=10, max_hamming=12, bands2=sb2).collect()
+    ]
+    assert g2_lookup == g2_scan == g_scan
+    with pytest.raises(ValueError):  # combo2 bound: max_hamming <= 14 - 2
+        granular_topk(None, txt, max_hamming=13, bands2=sb2)
+
 
 def test_band_tables_maintained_on_upsert_delete(spark, pages_df, built):
     from iscc_search_spark.operators.build import (
@@ -174,6 +192,18 @@ def test_band_tables_maintained_on_upsert_delete(spark, pages_df, built):
         sb.groupBy("doc_id", "seg_idx").count().select("count").distinct().collect()
     )
     assert [r["count"] for r in per_seg] == [SEG_BANDS]
+    # the combo2 table is maintained too: C(SEG_BANDS2, 2) rows/segment,
+    # deleted doc gone
+    from math import comb
+
+    from iscc_search_spark.operators.build import SEG_BANDS2, load_simprint_bands2
+
+    sb2 = load_simprint_bands2(spark, built)
+    assert sb2.filter(F.col("doc_id") == did).count() == 0
+    per_seg2 = (
+        sb2.groupBy("doc_id", "seg_idx").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_seg2] == [comb(SEG_BANDS2, 2)]
 
 
 # --- incremental stage B: shard granularity -----------------------------------
