@@ -33,12 +33,14 @@ fingerprint columns), everything else is derived and re-creatable from it.
                               key) — 13 ~10-bit-key rows/segment over
                               the 128-bit simprint, same layout/trade
       simprint_bands2/part=N/ same columns, C(14,2)=91 two-band-combo
-                              ~18-bit keys/segment: exact recall for
-                              max_hamming <= 12 at ~40x fewer random
-                              collisions than the single-band table —
-                              the high-threshold serving path trades 7x
-                              band-table storage for ~50x less candidate
-                              I/O per query
+                              ~18-bit keys/segment in segment-major
+                              order (RLE collapses the repeated doc
+                              columns): exact recall for max_hamming
+                              <= 12 at ~40x fewer random collisions
+                              than the single-band table — the
+                              high-threshold serving path trades band-
+                              table storage for ~50x fewer candidates
+                              admitted per query
       meta.json               (n_docs, avgdl, config, lineage)
       _checkpoints/           per-input-partition fingerprints (resumability)
       _metrics/               build lineage + throughput rows
