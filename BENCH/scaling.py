@@ -48,8 +48,13 @@ N_PARTS = 128
 N_SHARDS = 32
 SHUFFLE = 128
 N_QUERIES = 5000
-SUSTAINED_BATCHES = 3  # overlapping batches per sustained-throughput round
-SUSTAINED_CONC = 3
+# Overlap depth tuned by BENCH/sustained_sweep.py (round 5, 100k docs,
+# pinned 16 cores): 5000-query batches beat 2500 at every depth (larger
+# batches amortize per-batch stage bubbles), and with enough batches in
+# flight deeper overlap helps (2500x6: conc 6 = 818 q/s vs conc 3 =
+# 585 q/s).  conc must be <= n_batches or the extra threads idle.
+SUSTAINED_BATCHES = 4  # overlapping batches per sustained-throughput round
+SUSTAINED_CONC = 4
 
 
 def run_leg(cores: int, pages_path: str, work: str) -> dict:

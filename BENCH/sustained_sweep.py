@@ -58,7 +58,9 @@ def main() -> None:
     for batch_size in (5000, 2500):
         queries = dict(enumerate(all_queries[:batch_size]))
         for conc in (2, 3, 4, 6, 8):
-            n_batches = max(1, 15000 // batch_size)
+            # n_batches >= conc, else the extra threads idle and the row
+            # silently re-measures a shallower overlap
+            n_batches = max(conc, 15000 // batch_size)
 
             def one_batch(_):
                 bm25_wand_topk_batch(spark, reader, queries, k=10).collect()

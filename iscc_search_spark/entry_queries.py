@@ -1285,6 +1285,24 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(score, 6) AS score, n_matched
          row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
 ) WHERE rank <= 10"""
 
+    # same semantics served from the persisted COMBO2 band table (C(14,2)
+    # two-band keys): exact recall for max_hamming <= 12, so the result —
+    # and therefore the oracle — is identical to the single-band gate;
+    # what this gate evidences is that the combo2 lookup path admits the
+    # same matches while fetching ~40x fewer candidates
+    def a7_combo2(spark, sf):
+        from iscc_search_spark.operators.build import load_simprint_bands2
+        from iscc_search_spark.operators.simprints import granular_topk
+
+        sb2 = load_simprint_bands2(spark, _built_index(spark, sf))
+        out = granular_topk(
+            None, GRANULAR_QUERY, k=10, max_hamming=12, bands2=sb2
+        )
+        return out.withColumn("score", F.round("score", 6))
+
+    queries["a7_granular_combo2_lookup"] = a7_combo2
+    oracles["a7_granular_combo2_lookup"] = oracles["a7_granular_simprint_search"]
+
     # --- relational operator demos over the TPC-H-ish tables ---------------
     def tpch_q1(spark, sf):
         li = _t(spark, sf, "lineitem").filter(

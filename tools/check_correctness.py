@@ -7,6 +7,11 @@ query's own rounding).  Strictly harsher than a value-hash: prints the first
 differing rows on mismatch.
 
 Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+       python tools/check_correctness.py --json OUT.json [sf_dir]
+
+``--json`` writes the per-query verdicts to a driver-shaped artifact —
+the committed full-registry evidence for gates the driver's 50-entry
+file rotates out (VERDICT r4 "what's wrong" #1).
 """
 
 from __future__ import annotations
@@ -60,8 +65,14 @@ def compare(name, spark_df, con, sql):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from iscc_search_spark.session import get_spark
@@ -76,6 +87,7 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     n_pass = n_fail = n_weak = 0
+    rows: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -85,6 +97,10 @@ def main():
             if name not in oracles:
                 cnt = df.count()
                 print(f"  WEAK  {name}: rows={cnt} ({time.time()-t0:.1f}s, no oracle)")
+                rows[name] = {
+                    "status": "rows_only", "spark_rows": cnt,
+                    "secs": round(time.time() - t0, 1), "err": "no_oracle",
+                }
                 n_weak += 1
                 continue
             diff = compare(name, df, con, oracles[name])
@@ -94,11 +110,36 @@ def main():
             diff = f"ERROR   {type(e).__name__}: {str(e)[:300]}"
         if diff:
             print(f"  FAIL  {name}: {diff}")
+            rows[name] = {
+                "status": "fail", "detail": diff,
+                "secs": round(time.time() - t0, 1),
+            }
             n_fail += 1
         else:
             print(f"  PASS  {name} ({time.time()-t0:.1f}s)")
+            rows[name] = {
+                "status": "pass", "rows_match": True, "schema_match": True,
+                "values_match": True, "secs": round(time.time() - t0, 1),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} weak, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir, "n_pass": n_pass, "n_weak": n_weak,
+                    "n_fail": n_fail, "note": (
+                        "full-registry local run via tools/check_correctness.py"
+                        " — strict sorted-row value compare (harsher than the"
+                        " driver's hash); covers gates rotated out of the"
+                        " driver's 50-entry file"
+                    ),
+                    "queries": rows,
+                },
+                f, indent=1, sort_keys=False,
+            )
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
