@@ -52,6 +52,25 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("name", nargs="?", help="index name (not for 'list')")
     ix.add_argument("--pages", help="pages parquet path (for 'add')")
 
+    ag = sub.add_parser(
+        "aggregate",
+        help="poll hub transparency logs into a named index (S3 loop)",
+    )
+    ag.add_argument("--root", required=True, help="registry base dir")
+    ag.add_argument("--index", default="idp", help="aggregator index name")
+    ag.add_argument("--hub-list", required=True, help="hub list YAML url/path")
+    ag.add_argument("--network", default="mainnet")
+    ag.add_argument("--poll-interval", type=float, default=30.0)
+    ag.add_argument(
+        "--once", action="store_true",
+        help="one poll cycle then exit (cron-style; default: loop forever)",
+    )
+    ag.add_argument(
+        "--serve", action="store_true",
+        help="also serve /status + read-only registry routes (aggregator mode)",
+    )
+    ag.add_argument("--port", type=int, default=8080)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -123,6 +142,36 @@ def main(argv: list[str] | None = None) -> int:
             elif args.action == "add":
                 pages = spark.read.parquet(args.pages)
                 print(json.dumps(mgr.add_assets(args.name, pages)))
+        elif args.cmd == "aggregate":
+            from iscc_search_spark.aggregator import Poller
+            from iscc_search_spark.manager import IndexManager
+
+            mgr = IndexManager(spark, args.root)
+            poller = Poller(
+                mgr, args.index, args.hub_list, network=args.network,
+                poll_interval=args.poll_interval,
+            )
+            srv = None
+            if args.serve:
+                from iscc_search_spark.server import serve_in_thread
+
+                srv, base = serve_in_thread(
+                    spark, base_path=args.root, port=args.port,
+                    aggregator_mode=True, aggregator_index=args.index,
+                    poller=poller,
+                )
+                print(json.dumps({"serving": base}), flush=True)
+            try:
+                if args.once:
+                    poller.poll_cycle()
+                    print(json.dumps({"hubs": poller.status_rows()}, default=str))
+                else:
+                    poller.run()
+            except KeyboardInterrupt:
+                poller.stop()
+            finally:
+                if srv is not None:
+                    srv.shutdown()
     finally:
         if not pre_existing:  # embedded callers keep their session
             spark.stop()

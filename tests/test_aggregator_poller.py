@@ -206,6 +206,55 @@ def test_two_hub_saga(spark, tmp_path):
     assert set(p.status) == {1} and p.status[1].cursor > 0
 
 
+def test_cli_aggregate_once_over_real_http(spark, tmp_path, capsys):
+    """`aggregate --once` drives the whole chain over REAL HTTP: a live
+    hub server -> default_fetch -> Poller -> named-index upsert."""
+    import http.server
+    import threading
+
+    hub_obj = FakeHub([_rec("clihub", i) for i in range(5)])
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            try:
+                body = hub_obj.serve(self.path.split("/log/", 1)[1])
+            except Exception:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    hub_srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=hub_srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{hub_srv.server_address[1]}"
+    hl = tmp_path / "hl.yaml"
+    hl.write_text(
+        "version: 1\nnetwork: mainnet\nhubs:\n"
+        f"  - hub_id: 3\n    url: {url}\n    active: true\n"
+    )
+    try:
+        from iscc_search_spark.cli import main
+
+        assert main([
+            "aggregate", "--root", str(tmp_path / "root"),
+            "--hub-list", str(hl), "--once",
+        ]) == 0
+        data = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert data["hubs"][0]["cursor"] == 5 and data["hubs"][0]["ok"]
+        from iscc_search_spark.manager import IndexManager
+
+        mgr = IndexManager(spark, str(tmp_path / "root"))
+        assert mgr.get_index("idp")["assets"] == 5
+    finally:
+        hub_srv.shutdown()
+
+
 def test_status_endpoint(spark, tmp_path):
     from iscc_search_spark.server import serve_in_thread
 
