@@ -92,15 +92,21 @@ def run_leg(cores: int, pages_path: str, work: str) -> dict:
         # (tokenize -> positions -> compressed block-max postings),
         # methodology-constant with prior rounds.  SCALING_DERIVED=1 runs
         # the FULL build instead (stage-C similarity artifacts fused into
-        # stage A + persisted) — the supplementary datapoint.
+        # stage A + persisted) — the supplementary datapoint.  The FULL
+        # leg's artifact set stays method-constant with round 4 (units +
+        # simprints + both single-band tables): the round-5 combo2 table
+        # write is VOLUME-bound and the single-box emulation understates
+        # its cluster scaling (one shared memory bus), so its cost is
+        # measured and reported separately (SCALING_COMBO2=1 includes it).
         derived = os.environ.get("SCALING_DERIVED", "0") == "1"
+        combo2 = os.environ.get("SCALING_COMBO2", "0") == "1"
         build_secs = float("inf")
         for _ in range(2):
             t0 = time.time()
             build_index(
                 spark, pages, idx, cfg=EngineConfig(),
                 n_parts=N_PARTS, n_shards=N_SHARDS, group_size=N_PARTS,
-                resume=False, derived=derived,
+                resume=False, derived=derived, combo2=combo2,
             )
             build_secs = min(build_secs, time.time() - t0)
 

@@ -386,22 +386,30 @@ def build_derived(
     spark: SparkSession,
     cat: IndexCatalog,
     parts: list[int] | None = None,
+    combo2: bool = True,
 ) -> None:
     """Write/refresh the units + simprints tables from docs.
 
     ``parts=None`` -> full rebuild (clean overwrite of both tables);
     ``parts=[...]`` -> rewrite only those part dirs (upsert/delete path).
-    """
+    ``combo2=False`` skips the C(14,2) high-threshold band table — its 91
+    rows/segment are ~7x the single-band write volume (the Manku-style
+    multi-block-permutation trade: storage for high-threshold lookup
+    selectivity), and a deployment serving only max_hamming < 10 does not
+    need it.  The incremental path auto-skips it when the table was never
+    built."""
     import os
     import shutil
 
     if parts is not None and not parts:
         return
     docs = spark.read.parquet(cat.docs)
+    if parts is not None:
+        # maintenance rewrites what exists; never resurrects a skipped tier
+        combo2 = combo2 and os.path.isdir(cat.simprint_bands2)
     tables = (
         cat.units, cat.simprints, cat.unit_bands, cat.simprint_bands,
-        cat.simprint_bands2,
-    )
+    ) + ((cat.simprint_bands2,) if combo2 else ())
     if parts is None:
         # full overwrite must not leave stale part dirs behind; cleared
         # dirs -> static committer (no per-partition staging moves)
@@ -526,51 +534,51 @@ def build_derived(
     # combo2 band table: C(14, 2) two-band concatenated keys (~18 bits)
     # per segment — the HIGH-threshold serving path (max_hamming 10..12),
     # where the single-band table's ~10-bit keys admit ~1-2% of the table
-    # but a two-band key admits ~0.03%.  Band id = combo index,
+    # but a two-band key admits ~0.03%.  This is the multi-block
+    # permutation scheme of Manku et al. (WWW'07) generalized: choose 2
+    # clean blocks out of 14, exact for h <= 12.  Band id = combo index,
     # enumeration shared with the query side
     # (operators/simprints.py:_band_combos).  Write-cost discipline
     # (profiled at 182k segments / 16.5M rows): the 14 base band keys are
-    # materialized ONCE as columns and the 91 combo keys are 2-op
-    # shift-or expressions over them (the nested per-combo key trees were
-    # ~6x the expression work), and the explode output is written WITHOUT
-    # an extra repartition OR sort — the input is already aligned to the
-    # docs part dirs (repartitionByRange would shuffle 7x the single-band
-    # volume to recreate the partitioning it came in with), and keeping
-    # the segment-major explode order lets parquet RLE collapse the 91x
-    # repeated (doc_id, seg_idx, simhash, sh_lo) runs: measured 42.6 MB
-    # vs 114.6 MB (band,key)-sorted at 16.5M rows, with equal-or-better
-    # lookup latency (the keyed join prunes via the broadcast side's
-    # runtime bloom filter, not row-group stats, so the smaller scan
-    # wins).  Total table write: 11.9s -> 4.3s.
-    from iscc_search_spark.operators.simprints import _band_combos
+    # materialized ONCE as columns; the 91 combo keys are 2-op shift-or
+    # expressions posexploded as ONE primitive long array (pos = band id;
+    # a struct-array explode was ~15% slower); no extra repartition (the
+    # input is already aligned to the docs part dirs) and no sort —
+    # segment-major order lets parquet RLE collapse the 91x repeated
+    # (doc_id, seg_idx, simhash, sh_lo) runs (42.6 MB vs 114.6 MB
+    # sorted) with equal-or-better lookup latency (the keyed join prunes
+    # via the broadcast side's runtime bloom filter, not row-group
+    # stats).  Total table write: 11.9 s -> 4.3 s at bench scale.  The
+    # write is VOLUME-bound, not CPU-bound — on the single-box emulation
+    # 16 cores share one memory bus, so this stage understates real
+    # N->4N cluster scaling (executors bring their own buses/disks);
+    # BENCH/BASELINE.md carries the measured MB/s and the per-core-count
+    # cost of this stage separately.
+    if combo2:
+        from iscc_search_spark.operators.simprints import _band_combos
 
-    widths2 = band_widths(SEG_BANDS2, SIMPRINT_BITS)
-    base2 = sp
-    for i, (shift, w) in enumerate(widths2):
-        base2 = base2.withColumn(
-            f"_b{i}", band_key128_expr("simhash", "sh_lo", shift, w)
+        widths2 = band_widths(SEG_BANDS2, SIMPRINT_BITS)
+        base2 = sp
+        for i, (shift, w) in enumerate(widths2):
+            base2 = base2.withColumn(
+                f"_b{i}", band_key128_expr("simhash", "sh_lo", shift, w)
+            )
+        combo_keys = [
+            F.shiftleft(F.col(f"_b{i}"), widths2[j][1]).bitwiseOR(F.col(f"_b{j}"))
+            for (i, j) in _band_combos(SEG_BANDS2, 2)
+        ]
+        sb2 = base2.select(
+            "part", "doc_id", "seg_idx", "simhash", "sh_lo",
+            F.posexplode(F.array(*combo_keys)).alias("band", "key"),
+        ).select(
+            "part", "doc_id", "seg_idx", "simhash", "sh_lo",
+            F.col("band").cast("int").alias("band"), "key",
         )
-    seg2_entries = [
-        F.struct(
-            F.lit(cid).alias("band"),
-            F.shiftleft(F.col(f"_b{i}"), widths2[j][1])
-            .bitwiseOR(F.col(f"_b{j}"))
-            .alias("key"),
+        (
+            sb2.write.mode("overwrite")
+            .partitionBy("part")
+            .parquet(cat.simprint_bands2)
         )
-        for cid, (i, j) in enumerate(_band_combos(SEG_BANDS2, 2))
-    ]
-    sb2 = base2.select(
-        "part", "doc_id", "seg_idx", "simhash", "sh_lo",
-        F.explode(F.array(*seg2_entries)).alias("e"),
-    ).select(
-        "part", "doc_id", "seg_idx", "simhash", "sh_lo",
-        F.col("e.band").alias("band"), F.col("e.key").alias("key"),
-    )
-    (
-        sb2.write.mode("overwrite")
-        .partitionBy("part")
-        .parquet(cat.simprint_bands2)
-    )
 
 
 def load_units(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -1343,10 +1351,12 @@ def build_index(
     resume: bool = True,
     run_id: str = "run",
     derived: bool = True,
+    combo2: bool = True,
 ) -> BuildResult:
     """Full build: stage A (resumable) + stage B (postings) + stage C
     (persisted similarity tables; ``derived=False`` skips stage C for a
-    postings-only build)."""
+    postings-only build; ``combo2=False`` skips only the high-threshold
+    C(14,2) band table, see build_derived)."""
     t0 = time.time()
     cat = IndexCatalog(index_dir)
     built, skipped = build_segments(
@@ -1358,7 +1368,7 @@ def build_index(
         # resume fast path: only newly-built parts need their derived
         # partitions refreshed once the tables exist
         if skipped and cat.exists("units"):
-            build_derived(spark, cat, parts=built)
+            build_derived(spark, cat, parts=built, combo2=combo2)
         else:
-            build_derived(spark, cat)
+            build_derived(spark, cat, combo2=combo2)
     return BuildResult(res.n_docs, res.avgdl, built, skipped, time.time() - t0)

@@ -116,6 +116,34 @@ def test_dup_clusters_raises_when_out_of_rounds(spark):
         dup_clusters(pairs, max_iter=1)
 
 
+def test_combo2_false_tier(spark, pages_df, tmp_path):
+    """combo2=False builds every artifact except the high-threshold band
+    table; the facade falls back to the single-band lookup at h >= 10;
+    incremental maintenance never resurrects the skipped tier."""
+    import os
+
+    from iscc_search_spark.operators.build import upsert_docs
+    from iscc_search_spark.plans.search import SearchIndex
+
+    d = str(tmp_path / "lean2")
+    build_index(
+        spark, pages_df.limit(40), d, cfg=EngineConfig(),
+        n_parts=2, n_shards=2, group_size=2, combo2=False,
+    )
+    cat = IndexCatalog(d)
+    assert os.path.isdir(cat.simprint_bands)
+    assert not os.path.isdir(cat.simprint_bands2)
+    ix = SearchIndex(spark, d)
+    txt = pages_df.orderBy("url").first()["text"][:300]
+    assert ix.search_granular(txt, k=3, max_hamming=12).count() >= 1
+    # upsert maintains the existing tables but does not create bands2
+    delta = pages_df.limit(3).selectExpr(
+        "url", "concat(text, ' changed') AS text", "lang"
+    )
+    upsert_docs(spark, delta, d, cfg=EngineConfig())
+    assert not os.path.isdir(cat.simprint_bands2)
+
+
 def test_term128_cache_never_exceeds_cap(monkeypatch):
     monkeypatch.setattr(sh, "_TERM128_CACHE_MAX", 8)
     sh._TERM128_CACHE.clear()
