@@ -115,11 +115,25 @@ def main() -> None:
                 n_parts=cpus, n_shards=n_shards, group_size=cpus, derived=False,
             ),
         )
+        # FULL build measured twice: combo2=False is method-constant with
+        # round 4 (same artifact set: units + simprints + single-band
+        # tables), so the r4->r5 delta isolates engine changes; the
+        # separate _combo2 entry prices the round-5 C(14,2) band table
+        # (the artifact that turned the combo2 query into a <1 s lookup).
         idx_full = os.path.join(rdir, "index_full")
         timed(
             "index_build_pages_full",
             lambda: build_index(
                 spark, pages, idx_full, cfg=cfg,
+                n_parts=cpus, n_shards=n_shards, group_size=cpus, derived=True,
+                combo2=False,
+            ),
+        )
+        idx_full2 = os.path.join(rdir, "index_full_combo2")
+        timed(
+            "index_build_pages_full_combo2",
+            lambda: build_index(
+                spark, pages, idx_full2, cfg=cfg,
                 n_parts=cpus, n_shards=n_shards, group_size=cpus, derived=True,
             ),
         )
