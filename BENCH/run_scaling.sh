@@ -39,7 +39,7 @@ wait_for_window() { # blocks until ceiling >= MIN_CEILING or patience runs out
     while true; do
         local p eff
         p=$(probe)
-        eff=$(echo "$p" | python -c "import json,sys; print(json.load(sys.stdin)['efficiency'])")
+        eff=$(echo "$p" | python -c "import json,sys; print(json.load(sys.stdin)['ceiling_efficiency'])")
         echo "[$(date -u +%H:%M:%S)] ceiling probe: $p" | tee -a "$OUT/log.txt"
         echo "$p" >> "$OUT/ceilings.jsonl"
         if python -c "import sys; sys.exit(0 if float('$eff') >= float('$MIN_CEILING') else 1)"; then
