@@ -53,8 +53,8 @@ N_QUERIES = 5000
 # batches amortize per-batch stage bubbles), and with enough batches in
 # flight deeper overlap helps (2500x6: conc 6 = 818 q/s vs conc 3 =
 # 585 q/s).  conc must be <= n_batches or the extra threads idle.
-SUSTAINED_BATCHES = 4  # overlapping batches per sustained-throughput round
-SUSTAINED_CONC = 4
+SUSTAINED_BATCHES = int(os.environ.get("SUSTAINED_BATCHES", "4"))
+SUSTAINED_CONC = int(os.environ.get("SUSTAINED_CONC", "4"))
 
 
 def run_leg(cores: int, pages_path: str, work: str) -> dict:
