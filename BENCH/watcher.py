@@ -69,6 +69,7 @@ def quiet(p: dict) -> bool:
 
 
 def ensure_corpus(out: str) -> str:
+    os.makedirs("/dev/shm/r5corpus", exist_ok=True)
     pages = os.path.join("/dev/shm/r5corpus", "pages.parquet")
     if not os.path.exists(pages):
         log(out, f"generating {N_DOCS}-doc corpus at {pages}")

@@ -58,7 +58,12 @@ import os
 # version 1 and are refused — mixed 64/128-bit simprint semantics would
 # silently break granular-search recall, and pre-sh_lo part files would
 # surface as nulls or an AnalysisException depending on schema sampling.
-FORMAT_VERSION = 2
+# 3 = segment feature hashes derived from per-TOKEN md5 limbs via the
+# frozen uint64 mixer (simhash.bigram_hash128_py) instead of md5 over the
+# space-joined bigram string — same feature sets and selectivity, ~6x
+# cheaper hashing; stored sh_hi/sh_lo values differ from version 2, so
+# band tables and simprints from either version must not be mixed.
+FORMAT_VERSION = 3
 
 
 def check_format(meta: dict, where: str) -> None:

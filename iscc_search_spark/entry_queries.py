@@ -54,16 +54,18 @@ K1, B = BM25.k1, BM25.b
 # fixed reference queries against the testdata `documents` vocabulary
 # fixed 64-token granular query (2 segments): the first window is doc 1's
 # tokens [0:32) verbatim (an exact segment match, hamming 0), the second
-# its tokens [32:64) with two substitutions (a near-match at small
-# hamming) — so the a7 gate exercises both exact and approximate granular
-# hits with a non-empty result (the same fixed-doc convention as MLT_DOC)
+# its tokens [32:64) with two substitutions at the window's BOUNDARY
+# positions (each changes exactly one bigram-shingle feature of 31;
+# hamming 8 under the format_version-3 hash) — so the a7 gate exercises
+# both exact and approximate granular hits with a non-empty result (the
+# same fixed-doc convention as MLT_DOC)
 GRANULAR_QUERY_TEXT = (
     "batch window spark order data column agg join small line customer "
     "query line value a table customer fast key scan query big table "
-    "table part agg order scan stream fast order group value sort column "
-    "query big slow value customer stream window stream sort query line "
-    "window batch customer join merge value dup part filter query key "
-    "scan sort a scan spark fast sort"
+    "table part agg order scan stream fast order group filter sort column "
+    "query big query value customer stream window stream sort query line "
+    "window batch customer join merge value spark part filter query key "
+    "scan sort a scan spark fast dup"
 )
 
 Q1 = "batch dup"            # common + rare
@@ -1243,25 +1245,64 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(nphd, 6) AS nphd,
         f"({s}, CAST({hi} AS BIGINT), CAST({lo} AS BIGINT))"
         for s, _, _, _, hi, lo in qsegs
     )
-    # 128-bit segment simhash over the window's BIGRAM-shingle features
-    # (textnorm.seg_features_py: space-joined adjacent token pairs, bare
-    # token for a 1-token window); ALL 32 md5 hex nibbles (hi limb =
-    # nibbles 1..16, lo limb = 17..32), mirroring
-    # functions/simhash.py:simhash128_batch
+    # 128-bit segment simhash over the window's BIGRAM-shingle feature
+    # occurrences, format_version 3 (textnorm._segments_batch /
+    # simprints.segment_simhashes_py): unigram md5 limbs u(t) = uint64 of
+    # md5(t) hex nibbles 1..16 / 17..32, each adjacent token pair mixed
+    # with simhash.bigram_hash128_py's rotate/add-mod-2^64/xor, bare
+    # unigram limbs for a 1-token window; bit rule 2*S_i > n_features.
+    # rotl on UBIGINT-range values routed through HUGEINT ((x<<r)|(x>>64-r)
+    # as disjoint-bit + instead of |); verified byte-exact vs the Python
+    # mirror in tests.
+    _M64 = "18446744073709551616::HUGEINT"
+
+    def _rotl(x: str, r: int) -> str:
+        return (
+            f"CAST(((({x}) * {1 << r}::HUGEINT) % {_M64}"
+            f" + (({x}) // {1 << (64 - r)}::HUGEINT)) AS UBIGINT)"
+        )
+
+    def _mix(ah: str, al: str, bh: str, bl: str) -> tuple[str, str]:
+        f_hi = (
+            f"xor(CAST((({_rotl(ah, 17)}::HUGEINT) + ({bh})::HUGEINT)"
+            f" % {_M64} AS UBIGINT), {_rotl(bl, 47)})"
+        )
+        f_lo = (
+            f"xor(CAST((({_rotl(al, 23)}::HUGEINT) + ({bl})::HUGEINT)"
+            f" % {_M64} AS UBIGINT), {_rotl(ah, 41)})"
+        )
+        return f_hi, f_lo
+
+    _mh, _ml = _mix("a.u_hi", "a.u_lo", "b.u_hi", "b.u_lo")
+    # 128-row (i, power-of-two divisor, which limb) table as exact literals
+    _bitvals = ", ".join(
+        f"({i}, {1 << (63 - i if i < 64 else 127 - i)}::UBIGINT, {1 if i < 64 else 0})"
+        for i in range(128)
+    )
+    _limb = (
+        "CAST(sum(CAST(strpos('0123456789abcdef', h[CAST(k{off} AS INT)]) - 1 AS HUGEINT)"
+        " * CAST(CAST(1 AS BIGINT) << CAST((16 - k) * 4 AS INT) AS HUGEINT)) AS UBIGINT)"
+    )
     seg_sh_cte = f"""
 WITH base AS (SELECT doc_id, {ARR} AS arr FROM documents),
-segs AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(arr) / 32.0) AS INT))) AS seg_idx, arr FROM base),
-wb AS (SELECT doc_id, seg_idx, arr, CAST(seg_idx * 32 + 1 AS BIGINT) AS lo,
-              least(CAST((seg_idx + 1) * 32 AS BIGINT), len(arr)) AS hi FROM segs),
-st AS (SELECT doc_id, seg_idx,
-              CASE WHEN hi > lo THEN arr[CAST(j AS INT)] || ' ' || arr[CAST(j AS INT) + 1]
-                   ELSE arr[CAST(j AS INT)] END AS term
-       FROM wb, LATERAL unnest(range(lo, greatest(hi, lo + 1))) AS u(j)),
-tf AS (SELECT doc_id, seg_idx, term, CAST(count(*) AS BIGINT) AS tf FROM st GROUP BY doc_id, seg_idx, term),
-th AS (SELECT doc_id, seg_idx, tf, md5(term) AS h FROM tf),
+tok AS (SELECT doc_id, CAST(j AS BIGINT) AS p, len(arr) AS n, md5(arr[CAST(j AS INT)]) AS h
+        FROM base, LATERAL unnest(range(1, len(arr) + 1)) u(j)),
+ul AS (SELECT doc_id, p, n,
+              {_limb.format(off="")} AS u_hi,
+              {_limb.format(off=" + 16")} AS u_lo
+       FROM tok, (SELECT unnest(range(1, 17)) AS k) nib
+       GROUP BY doc_id, p, n, h),
+feat AS (SELECT a.doc_id, CAST((a.p - 1) // 32 AS BIGINT) AS seg_idx,
+                CASE WHEN a.p = a.n AND (a.p - 1) % 32 = 0 THEN a.u_hi
+                     ELSE {_mh} END AS f_hi,
+                CASE WHEN a.p = a.n AND (a.p - 1) % 32 = 0 THEN a.u_lo
+                     ELSE {_ml} END AS f_lo
+         FROM ul a LEFT JOIN ul b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         WHERE (a.p < a.n AND (a.p - 1) % 32 <> 31)
+            OR (a.p = a.n AND (a.p - 1) % 32 = 0)),
 bb AS (SELECT doc_id, seg_idx, i,
-              sum(tf * (2 * (((strpos('0123456789abcdef', h[(i // 4) + 1]) - 1) >> (3 - (i % 4))) & 1) - 1)) AS v
-       FROM th, (SELECT unnest(range(0, 128)) AS i) bits
+              sum(2 * CAST(((CASE WHEN use_hi = 1 THEN f_hi ELSE f_lo END) // pw) % 2 AS BIGINT) - 1) AS v
+       FROM feat, (SELECT * FROM (VALUES {_bitvals}) b(i, pw, use_hi)) bits
        GROUP BY doc_id, seg_idx, i),
 ssh AS (SELECT doc_id, seg_idx,
                CAST(sum(CASE WHEN i = 0 AND v > 0 THEN CAST(-9223372036854775808 AS HUGEINT)

@@ -192,12 +192,31 @@ def simhash_unweighted_batch(
 # --- 128-bit variant (granular segment simprints) ---------------------------
 # The reference's simprint vectors are 128-bit binary hamming vectors
 # (iscc_search/indexes/simprint/usearch_core.py:49 ndim=128 default, b1
-# hamming metric).  The 128-bit simhash takes ALL 16 md5 bytes per term:
-# the HIGH limb uses bytes [0:8) — bit-identical to the 64-bit simhash —
-# and the LOW limb bytes [8:16).  Wider hashes concentrate the relative
-# hamming distance of similar pairs (std ~ 1/sqrt(bits)), so absolute
-# thresholds like max_hamming=12 become far more selective at equal recall
-# for near-identical segments.
+# hamming metric).  Wider hashes concentrate the relative hamming
+# distance of similar pairs (std ~ 1/sqrt(bits)), so absolute thresholds
+# like max_hamming=12 are far more selective at equal recall for
+# near-identical segments.
+#
+# FROZEN segment feature hash (format_version 3, shared with the DuckDB
+# oracle SQL and the scalar mirror in operators/simprints.py):
+# - unigram limbs u(t) = (uint64 of md5(t) bytes [0:8), bytes [8:16))
+#   big-endian — md5 runs once per unique TOKEN (small, Zipf vocabulary;
+#   process-lifetime cache), never per bigram string;
+# - a window's features are its adjacent token pairs (word bigram
+#   shingles, with multiplicity); each feature's 128-bit hash mixes the
+#   two unigram limb pairs (bigram_hash128_py below) with rotate / add
+#   mod 2^64 / xor — the carry chain of the add breaks GF(2) linearity,
+#   so features sharing a token still get near-independent hashes.  A
+#   1-token window falls back to the bare unigram limbs;
+# - simhash bit i of a window = 1 iff 2*S_i > n_features where S_i is
+#   the number of its feature occurrences with bit i set (identical to
+#   the tf-weighted sum-of-±1 rule, occurrences == tf-multiplicity).
+#
+# Versus format_version 2 (md5 over the space-joined bigram STRING): the
+# feature sets and the selectivity behavior are the same, but hashing
+# cost drops from one md5 per unique bigram (~open-ended vocab, low
+# cache hit rate) to one md5 per unique token plus a few uint64 vector
+# ops — measured ~6x on the segment pipeline.
 
 
 def term_hash128(term: str) -> tuple[int, int]:
@@ -206,49 +225,57 @@ def term_hash128(term: str) -> tuple[int, int]:
     return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big")
 
 
-def simhash128_from_tf(
-    terms: list[str] | np.ndarray, tfs: np.ndarray
+_M64 = (1 << 64) - 1
+
+
+def bigram_hash128_py(
+    a_hi: int, a_lo: int, b_hi: int, b_lo: int
 ) -> tuple[int, int]:
-    """Single-doc 128-bit simhash -> (hi, lo) signed int64 limbs (oracle
-    path); hi is bit-identical to simhash_from_tf."""
-    if len(terms) == 0:
-        return 0, 0
-    hs = np.array([term_hash128(t) for t in terms], dtype=np.uint64)
-    tf = np.asarray(tfs, dtype=np.int64)
-    out = []
-    for limb in range(2):
-        bits = ((hs[:, limb][:, None] >> _BITPOS[None, :]) & _U1).astype(np.int64)
-        v = ((2 * bits - 1) * tf[:, None]).sum(axis=0)
-        out.append(_pack_bits(v > 0))
-    return out[0], out[1]
+    """FROZEN bigram feature mixer (scalar mirror of bigram_limbs128 and
+    of the DuckDB oracle SQL): (hi, lo) uint64 feature limbs for the
+    ordered token pair (a, b) from the tokens' unigram md5 limbs."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    f_hi = ((rotl(a_hi, 17) + b_hi) & _M64) ^ rotl(b_lo, 47)
+    f_lo = ((rotl(a_lo, 23) + b_lo) & _M64) ^ rotl(a_hi, 41)
+    return f_hi, f_lo
+
+
+def bigram_limbs128(
+    a_hi: np.ndarray, a_lo: np.ndarray, b_hi: np.ndarray, b_lo: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bigram_hash128_py over uint64 arrays (wrapping uint64
+    arithmetic end-to-end; bit-identical to the scalar mirror)."""
+    u17, u47 = np.uint64(17), np.uint64(47)
+    u23, u41 = np.uint64(23), np.uint64(41)
+    f_hi = (((a_hi << u17) | (a_hi >> u47)) + b_hi) ^ (
+        (b_lo << u47) | (b_lo >> u17)
+    )
+    f_lo = (((a_lo << u23) | (a_lo >> u41)) + b_lo) ^ (
+        (a_hi << u41) | (a_hi >> u23)
+    )
+    return f_hi, f_lo
 
 
 _TERM128_CACHE: dict[str, tuple[int, int]] = {}
-# bounded: bigram vocab is Zipf but open-ended.  2^18 entries ≈ 40-75 MB
-# of dict per Python worker (key str + 2-int tuple ≈ 160-290 B each); with
-# tens of Arrow workers per host that stays under ~2 GB host-wide, where
-# the old 2^21 cap allowed multi-GB per worker before clearing.  The clear
+# bounded process-lifetime cache.  Keys are now unigram TOKENS (the
+# bigram mixer needs no per-bigram md5), so the working set is the
+# corpus vocabulary — Zipf, and far smaller than the old bigram vocab;
+# 2^18 entries ≈ 40-75 MB per Python worker at saturation.  The clear
 # happens BEFORE the insert that would exceed the cap (inside
-# _hash_terms_flat128), so the dict never grows past the bound.
+# unigram_limbs128), so the dict never grows past the bound.
 _TERM128_CACHE_MAX = 1 << 18
 
 
-def _hash_terms_flat128(sub_terms: list[np.ndarray], total: int) -> np.ndarray:
-    """(total, 2) uint64 md5 limbs per flat term — ONE md5 per unique
-    string (factorized batch), both limbs from the same digest, with a
-    bounded process-lifetime cache (segment features are word bigrams
-    that repeat heavily across documents; the cache resets rather than
-    grows past _TERM128_CACHE_MAX)."""
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for tl in sub_terms:
-        flat[pos : pos + len(tl)] = tl
-        pos += len(tl)
-    codes, uniq = pd.factorize(flat)
+def unigram_limbs128(uniq: np.ndarray) -> np.ndarray:
+    """(len(uniq), 2) uint64 md5 limbs, one md5 per UNIQUE token with the
+    bounded process-lifetime cache."""
     md5 = hashlib.md5
     cache = _TERM128_CACHE
     cap = _TERM128_CACHE_MAX
-    hashed = np.empty((len(uniq), 2), dtype=np.uint64)
+    out = np.empty((len(uniq), 2), dtype=np.uint64)
     for i, t in enumerate(uniq):
         hl = cache.get(t)
         if hl is None:
@@ -257,69 +284,82 @@ def _hash_terms_flat128(sub_terms: list[np.ndarray], total: int) -> np.ndarray:
             if len(cache) >= cap:
                 cache.clear()
             cache[t] = hl
-        hashed[i, 0] = hl[0]
-        hashed[i, 1] = hl[1]
-    return hashed[codes]
+        out[i, 0] = hl[0]
+        out[i, 1] = hl[1]
+    return out
 
 
-def simhash128_batch(
-    term_lists: list[np.ndarray],
-    tf_lists: list[np.ndarray],
-    chunk_docs: int = 256,
+def _hash_terms_flat128(sub_terms: list[np.ndarray], total: int) -> np.ndarray:
+    """(total, 2) uint64 md5 limbs per flat term — factorize once, md5
+    once per unique string via unigram_limbs128's cache."""
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for tl in sub_terms:
+        flat[pos : pos + len(tl)] = tl
+        pos += len(tl)
+    codes, uniq = pd.factorize(flat)
+    return unigram_limbs128(uniq)[codes]
+
+
+def segment_simhash128_flat(
+    f_hi: np.ndarray,
+    f_lo: np.ndarray,
+    bounds: np.ndarray,
+    chunk_feats: int = 1 << 18,
 ) -> np.ndarray:
-    """Vectorized 128-bit simhash for a batch of docs -> (n, 2) int64
-    array of (hi, lo) limbs; hi is bit-identical to simhash_batch.  Same
-    chunked dense-matmul kernel (the bit matrix is 128 wide instead of
-    64, still ~20 MB per chunk)."""
-    n = len(term_lists)
-    out = np.zeros((n, 2), dtype=np.int64)
-    for start in range(0, n, chunk_docs):
-        end = min(start + chunk_docs, n)
-        sub_terms = term_lists[start:end]
-        sub_tfs = tf_lists[start:end]
-        m = end - start
-        counts = np.array([len(t) for t in sub_terms], dtype=np.int64)
-        total = int(counts.sum())
-        if total == 0:
-            continue
-        flat_hash = _hash_terms_flat128(sub_terms, total)
-        flat_tfs = np.concatenate(
-            [np.asarray(t, dtype=np.int64) for t in sub_tfs]
-        ).astype(np.float32)
-        # unique over the (hi, lo) pair — view the 2-limb rows as void rows
-        uniq, inv = np.unique(
-            np.ascontiguousarray(flat_hash).view([("hi", "u8"), ("lo", "u8")]),
-            return_inverse=True,
-        )
-        inv = inv.ravel()
+    """(n_segs, 2) int64 simhash limbs from per-occurrence feature limbs
+    laid out contiguously by segment (``bounds`` = start offset of each
+    segment's slice).  Occurrences carry multiplicity, so the bit rule
+    2*S_i > n is identical to the tf-weighted ±1 sum.  The kernel is
+    unpackbits -> cumsum -> boundary-difference (no dense (docs x vocab)
+    matrix — segment feature sets are tiny and mostly distinct, a
+    gather+segmented-sum shape; cumsum-diff measured 5x faster than
+    np.add.reduceat at this shape), chunked so the unpacked bit matrix
+    stays ~64 MB."""
+    total = len(f_hi)
+    n_seg = len(bounds)
+    out = np.empty((n_seg, 2), dtype=np.int64)
+    if n_seg == 0:
+        return out
+    ends = np.append(bounds[1:], total)
+    n_feat = (ends - bounds).astype(np.int64)
+    s0 = 0
+    while s0 < n_seg:
+        s1 = int(np.searchsorted(bounds, bounds[s0] + chunk_feats, side="left"))
+        s1 = max(s1, s0 + 1)
+        a0 = int(bounds[s0])
+        a1 = int(ends[s1 - 1])
+        # (m, 128) uint8 bit matrix, column 0 = MSB of the hi limb
+        # (big-endian byte view -> unpackbits is MSB-first end-to-end)
         bits = np.concatenate(
             [
-                ((uniq["hi"][:, None] >> _BITPOS[None, :]) & _U1),
-                ((uniq["lo"][:, None] >> _BITPOS[None, :]) & _U1),
+                np.unpackbits(
+                    f_hi[a0:a1].astype(">u8").view(np.uint8).reshape(-1, 8),
+                    axis=1,
+                ),
+                np.unpackbits(
+                    f_lo[a0:a1].astype(">u8").view(np.uint8).reshape(-1, 8),
+                    axis=1,
+                ),
             ],
             axis=1,
-        ).astype(np.float32)
-        T_ = np.zeros((m, len(uniq)), dtype=np.float32)
-        row_idx = np.repeat(np.arange(m), counts)
-        flat_key = row_idx * len(uniq) + inv
-        if len(np.unique(flat_key)) == total:
-            T_[row_idx, inv] = flat_tfs
-        else:
-            np.add.at(T_, (row_idx, inv), flat_tfs)
-        S = T_ @ bits  # (docs, 128)
-        doc_len = np.array(
-            [np.asarray(t, dtype=np.int64).sum() for t in sub_tfs],
-            dtype=np.float32,
         )
-        v = 2.0 * S - doc_len[:, None]
-        pos_bits = v > 0
-        for limb in range(2):
-            packed = (
-                pos_bits[:, limb * 64 : (limb + 1) * 64].astype(np.uint64)
-                << _BITPOS[None, :]
-            ).sum(axis=1, dtype=np.uint64)
-            nonempty = counts > 0
-            out[start:end, limb][nonempty] = packed.view(np.int64)[nonempty]
+        m = a1 - a0
+        csum = np.empty((m + 1, 128), dtype=np.int32)
+        csum[0] = 0
+        np.cumsum(bits, axis=0, dtype=np.int32, out=csum[1:])
+        S = csum[ends[s0:s1] - a0] - csum[bounds[s0:s1] - a0]
+        pos_bits = (2 * S.astype(np.int64)) > n_feat[s0:s1, None]
+        packed = np.packbits(pos_bits, axis=1)  # (k, 16) big-endian bytes
+        out[s0:s1, 0] = (
+            np.ascontiguousarray(packed[:, :8]).view(">u8").ravel()
+            .astype(np.uint64).view(np.int64)
+        )
+        out[s0:s1, 1] = (
+            np.ascontiguousarray(packed[:, 8:]).view(">u8").ravel()
+            .astype(np.uint64).view(np.int64)
+        )
+        s0 = s1
     return out
 
 

@@ -269,55 +269,91 @@ def _shingle_sets(doc_tokens: list[list[str]]):
     return out
 
 
-def seg_features_py(window: list[str]) -> list[str]:
-    """FROZEN segment simprint feature set: within-window word bigrams
-    (space-joined adjacent token pairs, with multiplicity); a 1-token
-    window falls back to the bare token.  Shingle features (w-shingling)
-    make unrelated segments near-independent 128-bit hashes even over a
-    tiny vocabulary — an order-free unigram bag collapses to the
-    vocabulary's tf profile and clusters (round-3 measured 0.79-0.90
-    candidate fraction at max_hamming=12) — while near-identical windows
-    still share almost all bigrams.  Mirrors the upstream ISCC content
-    codes, which simhash n-gram features of the text, not unigram bags."""
-    if len(window) < 2:
-        return list(window)
-    return [window[i] + " " + window[i + 1] for i in range(len(window) - 1)]
-
-
 def _segments_batch(doc_tokens, doc_spans, seg_tokens: int = SEG_TOKENS):
     """Per-doc [(seg_idx, n_tokens, offset, size, simhash, sh_lo)] — fixed
-    ``seg_tokens`` token windows, bigram-shingle features, 128-bit
-    simhashed with the SAME whole-batch grouping + kernel as documents
-    (all windows of the Arrow batch are flattened and hashed in one
-    vectorized pass)."""
-    from iscc_search_spark.functions.simhash import simhash128_batch
+    ``seg_tokens`` token windows, word-bigram shingle features (with
+    multiplicity; a 1-token window falls back to the bare token), 128-bit
+    simhashed.  Shingle features make unrelated segments near-independent
+    hashes even over a tiny vocabulary — an order-free unigram bag
+    collapses to the vocabulary's tf profile and clusters (round-3
+    measured 0.79-0.90 candidate fraction at max_hamming=12) — while
+    near-identical windows still share almost all bigrams; mirrors the
+    upstream ISCC content codes, which simhash n-gram features.
 
-    seg_lists: list[list[str]] = []
-    counts: list[int] = []
-    metas: list[tuple[int, int, int, int]] = []
-    for toks, spans in zip(doc_tokens, doc_spans):
-        n = 0
-        for i in range(0, len(toks), seg_tokens):
-            window = toks[i : i + seg_tokens]
-            end_t = min(i + seg_tokens, len(toks)) - 1
-            start_b = spans[i][0]
-            metas.append(
-                (i // seg_tokens, len(window), start_b, spans[end_t][1] - start_b)
-            )
-            seg_lists.append(seg_features_py(window))
-            n += 1
-        counts.append(n)
-    if not seg_lists:
+    The whole Arrow batch is ONE vectorized pass: factorize the flat
+    token stream, md5 once per unique TOKEN (cached), derive every
+    bigram occurrence's 128-bit limbs with the frozen uint64 mixer
+    (simhash.bigram_limbs128 — no bigram strings, no per-bigram md5),
+    and fold occurrences into per-window simhashes with the
+    unpackbits+reduceat kernel (simhash.segment_simhash128_flat)."""
+    import numpy as np
+
+    from iscc_search_spark.functions.simhash import (
+        bigram_limbs128,
+        segment_simhash128_flat,
+        unigram_limbs128,
+    )
+
+    n_docs = len(doc_tokens)
+    lens = np.array([len(d) for d in doc_tokens], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
         return [[] for _ in doc_tokens]
-    terms_out, tfs_out, _, _ = _group_tokens_batch(seg_lists)
-    hashes = simhash128_batch(terms_out, tfs_out)
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for d in doc_tokens:
+        flat[pos : pos + len(d)] = d
+        pos += len(d)
+    codes, uniq = pd.factorize(flat)
+    limbs = unigram_limbs128(uniq)
+    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=doc_off[1:])
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+    r = np.arange(total, dtype=np.int64) - doc_off[doc_idx]
+    last_in_doc = r == lens[doc_idx] - 1
+    inw = r % seg_tokens
+    # one feature per position p: the bigram (p, p+1) unless p closes its
+    # window or the doc; a 1-token window (window start == doc's last
+    # token) contributes its bare unigram limbs instead — exactly one of
+    # the two can hold, and every window emits >= 1 feature
+    is_big = ~last_in_doc & (inw != seg_tokens - 1)
+    is_uni = last_in_doc & (inw == 0)
+    fp = np.flatnonzero(is_big | is_uni)
+    a = codes[fp]
+    b = codes[np.minimum(fp + 1, total - 1)]
+    f_hi, f_lo = bigram_limbs128(
+        limbs[a, 0], limbs[a, 1], limbs[b, 0], limbs[b, 1]
+    )
+    uni = is_uni[fp]
+    if uni.any():
+        f_hi[uni] = limbs[a[uni], 0]
+        f_lo[uni] = limbs[a[uni], 1]
+    # features are position-ordered, hence contiguous per (doc, window)
+    wins_per_doc = (lens + seg_tokens - 1) // seg_tokens
+    win_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(wins_per_doc, out=win_off[1:])
+    gw = (win_off[doc_idx] + r // seg_tokens)[fp]
+    bounds = np.flatnonzero(np.r_[True, gw[1:] != gw[:-1]])
+    assert len(bounds) == win_off[-1], "window/feature bookkeeping drift"
+    hashes = segment_simhash128_flat(f_hi, f_lo, bounds)
     out, k = [], 0
-    for c in counts:
-        out.append(
-            [(m[0], m[1], m[2], m[3], int(h[0]), int(h[1]))
-             for m, h in zip(metas[k : k + c], hashes[k : k + c])]
-        )
-        k += c
+    for toks, spans in zip(doc_tokens, doc_spans):
+        segs = []
+        for i in range(0, len(toks), seg_tokens):
+            n = min(seg_tokens, len(toks) - i)
+            start_b = spans[i][0]
+            segs.append(
+                (
+                    i // seg_tokens,
+                    n,
+                    start_b,
+                    spans[i + n - 1][1] - start_b,
+                    int(hashes[k, 0]),
+                    int(hashes[k, 1]),
+                )
+            )
+            k += 1
+        out.append(segs)
     return out
 
 

@@ -9,7 +9,8 @@ assets contain matching segments, scored by coverage weighting
 usearch_core.py:171-236 approx search).  Spark-first re-expression:
 
 - documents are segmented into fixed ``seg_tokens`` token windows; each
-  window gets a 128-bit simhash (functions/simhash.py:simhash128_batch)
+  window gets a 128-bit simhash over its bigram-shingle feature
+  occurrences (functions/simhash.py:segment_simhash128_flat)
   stored as two int64 limbs -> a ``simprints`` table (doc_id, seg_idx,
   n_tokens, offset, size, simhash=hi, sh_lo) — (offset, size) is the BYTE
   span of the segment in the canonical (NFC-normalized, lowercased) text,
@@ -45,13 +46,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from iscc_search_spark.functions.simhash import (
+    bigram_hash128_py,
     hamming128_expr,
     neardup_score128_expr,
-    simhash128_batch,
+    term_hash128,
 )
 from iscc_search_spark.functions.textnorm import (
     SEG_TOKENS,
-    seg_features_py,
     token_spans_py,
 )
 
@@ -64,37 +65,46 @@ _U64 = (1 << 64) - 1
 def segment_simhashes_py(
     text: str, seg_tokens: int = SEG_TOKENS
 ) -> list[tuple[int, int, int, int, int, int]]:
-    """[(seg_idx, n_tokens, offset, size, sh_hi, sh_lo)] for one text
-    (driver/oracle path; offset/size are byte spans in the canonical
-    text; (sh_hi, sh_lo) are the signed int64 limbs of the 128-bit
-    segment simhash over the window's bigram-shingle features,
-    textnorm.seg_features_py)."""
-    import numpy as np
-
+    """[(seg_idx, n_tokens, offset, size, sh_hi, sh_lo)] for one text —
+    the scalar driver/oracle mirror of textnorm._segments_batch (the
+    tests compare the two paths segment-by-segment).  offset/size are
+    byte spans in the canonical text; (sh_hi, sh_lo) are the signed
+    int64 limbs of the 128-bit segment simhash over the window's
+    bigram-shingle feature occurrences (simhash.bigram_hash128_py over
+    the tokens' md5 limbs; a 1-token window uses the bare unigram
+    limbs)."""
     toks, spans = _token_spans(text)
+    ulimbs = {t: term_hash128(t) for t in set(toks)}
     out = []
-    terms_l, tfs_l = [], []
-    metas = []
-    for i in range(0, max(len(toks), 1), seg_tokens):
+    for i in range(0, len(toks), seg_tokens):
         window = toks[i : i + seg_tokens]
-        if not window:
-            break
-        from collections import Counter
-
-        c = Counter(seg_features_py(window))
-        ts = sorted(c)
-        terms_l.append(np.array(ts, dtype=object))
-        tfs_l.append(np.array([c[t] for t in ts], dtype=np.int64))
+        if len(window) < 2:
+            feats = [ulimbs[window[0]]]
+        else:
+            feats = [
+                bigram_hash128_py(*ulimbs[window[j]], *ulimbs[window[j + 1]])
+                for j in range(len(window) - 1)
+            ]
+        v = [0] * 128
+        for fh, fl in feats:
+            x = (fh << 64) | fl
+            for bit in range(128):
+                v[bit] += 1 if (x >> (127 - bit)) & 1 else -1
+        hi = sum(1 << (63 - b) for b in range(64) if v[b] > 0)
+        lo = sum(1 << (127 - b) for b in range(64, 128) if v[b] > 0)
         start_b = spans[i][0]
         end_b = spans[min(i + seg_tokens, len(toks)) - 1][1]
-        metas.append((i // seg_tokens, len(window), start_b, end_b - start_b))
-    if not metas:
-        return []
-    hashes = simhash128_batch(terms_l, tfs_l)
-    return [
-        (s, n, o, z, int(h[0]), int(h[1]))
-        for (s, n, o, z), h in zip(metas, hashes)
-    ]
+        out.append(
+            (
+                i // seg_tokens,
+                len(window),
+                start_b,
+                end_b - start_b,
+                hi - (1 << 64) if hi >= 1 << 63 else hi,
+                lo - (1 << 64) if lo >= 1 << 63 else lo,
+            )
+        )
+    return out
 
 
 _SEG_SCHEMA = T.ArrayType(
