@@ -285,7 +285,7 @@ def _segments_batch(doc_tokens, doc_spans, seg_tokens: int = SEG_TOKENS):
     bigram occurrence's 128-bit limbs with the frozen uint64 mixer
     (simhash.bigram_limbs128 — no bigram strings, no per-bigram md5),
     and fold occurrences into per-window simhashes with the
-    unpackbits+reduceat kernel (simhash.segment_simhash128_flat)."""
+    bit-sliced vertical-counter kernel (simhash.segment_simhash128_flat)."""
     import numpy as np
 
     from iscc_search_spark.functions.simhash import (
