@@ -4,8 +4,12 @@ Cluster usage (north rule: ``spark-submit --py-files`` on multi-executor
 clusters)::
 
     zip -r iscc_search_spark.zip iscc_search_spark
-    spark-submit --py-files iscc_search_spark.zip -m iscc_search_spark.cli \
+    echo 'from iscc_search_spark.cli import main; import sys; sys.exit(main())' > job.py
+    spark-submit --py-files iscc_search_spark.zip job.py \
         build --pages s3://bucket/pages/ --index s3://bucket/index/
+
+(spark-submit takes a script file, not ``-m``; tests/test_spark_submit.py
+drives this exact packaging end-to-end against a real spark-submit.)
 
 Local sandbox: ``python -m iscc_search_spark.cli build --pages p.parquet
 --index /tmp/idx``.
