@@ -63,7 +63,14 @@ import os
 # space-joined bigram string — same feature sets and selectivity, ~6x
 # cheaper hashing; stored sh_hi/sh_lo values differ from version 2, so
 # band tables and simprints from either version must not be mixed.
-FORMAT_VERSION = 3
+# 4 = the DATA unit (data_sh) gets the same treatment: 64-bit simhash
+# over DISTINCT word-trigram features whose 128-bit hashes fold the
+# frozen bigram mixer left over per-token md5 limbs (mix(mix(a,b),c))
+# instead of md5 over the space-joined 3-gram STRING (open vocabulary,
+# ~zero cache hits — it dominated derived stage-A CPU).  Stored data_sh
+# values differ from version 3, so units and unit-band tables must not
+# be mixed across the boundary.
+FORMAT_VERSION = 4
 
 
 def check_format(meta: dict, where: str) -> None:

@@ -149,6 +149,48 @@ sh AS (SELECT d.doc_id, COALESCE(sh0.simhash, 0) AS simhash
        FROM documents d LEFT JOIN sh0 USING (doc_id))"""
 
 
+# --- frozen uint64-mixer SQL helpers --------------------------------------
+# Exact DuckDB mirrors of simhash.bigram_hash128_py (rotate / add mod 2^64
+# / xor), shared by the segment-simprint oracle (format_version 3) and the
+# DATA-unit trigram oracle (format_version 4).  rotl on UBIGINT-range
+# values is routed through HUGEINT ((x << r) | (x >> (64 - r)) expressed
+# as disjoint-bit + instead of |); verified byte-exact vs the Python
+# mirror in tests.
+_M64 = "18446744073709551616::HUGEINT"
+
+
+def _rotl(x: str, r: int) -> str:
+    return (
+        f"CAST(((({x}) * {1 << r}::HUGEINT) % {_M64}"
+        f" + (({x}) // {1 << (64 - r)}::HUGEINT)) AS UBIGINT)"
+    )
+
+
+def _mix(ah: str, al: str, bh: str, bl: str) -> tuple[str, str]:
+    f_hi = (
+        f"xor(CAST((({_rotl(ah, 17)}::HUGEINT) + ({bh})::HUGEINT)"
+        f" % {_M64} AS UBIGINT), {_rotl(bl, 47)})"
+    )
+    f_lo = (
+        f"xor(CAST((({_rotl(al, 23)}::HUGEINT) + ({bl})::HUGEINT)"
+        f" % {_M64} AS UBIGINT), {_rotl(ah, 41)})"
+    )
+    return f_hi, f_lo
+
+
+# per-token md5 limb from hex nibbles (k = 1..16; off selects hi/lo half)
+_limb = (
+    "CAST(sum(CAST(strpos('0123456789abcdef', h[CAST(k{off} AS INT)]) - 1 AS HUGEINT)"
+    " * CAST(CAST(1 AS BIGINT) << CAST((16 - k) * 4 AS INT) AS HUGEINT)) AS UBIGINT)"
+)
+# 128-row (i, power-of-two divisor, which limb) table as exact literals
+_bitvals = ", ".join(
+    f"({i}, {1 << (63 - i if i < 64 else 127 - i)}::UBIGINT, {1 if i < 64 else 0})"
+    for i in range(128)
+)
+_bitvals64 = ", ".join(f"({i}, {1 << (63 - i)}::UBIGINT)" for i in range(64))
+
+
 def _minhash_sig_cte(n_perm: int, ngram: int, seed: int = 42) -> str:
     a, b = minhash_params(n_perm, seed)
     if ngram == 1:
@@ -941,23 +983,32 @@ WITH uv AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS realm,
 SELECT doc_id, 'ISCC:' || {id_chars} AS iscc_id, realm FROM uv WHERE realm = 1"""
 
     # --- multi-unit ISCC: F4 composition + flagship search (A3/A8/J) -------
-    # shared SQL pieces: per-doc DATA_V0 simhash (distinct 3-gram shingles,
-    # tf=1) and INSTANCE_V0 exact hash (md5 first 8 bytes as signed int64)
-    SHINGLE3 = (
-        f"list_distinct(list_transform(range(1, len({ARR}) - 1), "
-        f"i -> {ARR}[i] || ' ' || {ARR}[i + 1] || ' ' || {ARR}[i + 2]))"
-    )
+    # shared SQL pieces: per-doc DATA_V0 simhash (format_version 4:
+    # word-trigram feature occurrences, each hashed by folding the frozen
+    # bigram mixer left over the tokens' unigram md5 limbs — the exact
+    # mirror of textnorm._data_simhash_batch) and INSTANCE_V0 exact hash
+    # (md5 first 8 bytes as signed int64)
     inst_nibbles = " + ".join(
         f"CAST((strpos('0123456789abcdef', md5(text)[{i + 1}]) - 1) AS HUGEINT) "
         f"* CAST('{16 ** (15 - i)}' AS HUGEINT)"
         for i in range(16)
     )
+    _m3h, _m3l = _mix("a.u_hi", "a.u_lo", "b.u_hi", "b.u_lo")
+    _f3h, _f3l = _mix(f"({_m3h})", f"({_m3l})", "c.u_hi", "c.u_lo")
     UNITS_CTE = f"""{SIMHASH_CTE},
-dsth AS (SELECT doc_id, md5(s) AS h
-         FROM (SELECT doc_id, unnest({SHINGLE3}) AS s FROM documents)),
-dsbb AS (SELECT doc_id, i,
-                sum(2 * (((strpos('0123456789abcdef', h[(i // 4) + 1]) - 1) >> (3 - (i % 4))) & 1) - 1) AS v
-         FROM dsth, (SELECT unnest(range(0, 64)) AS i) bits
+dtok AS (SELECT doc_id, CAST(j AS BIGINT) AS p, md5(arr[CAST(j AS INT)]) AS h
+         FROM (SELECT doc_id, {ARR} AS arr FROM documents) db,
+              LATERAL unnest(range(1, len(arr) + 1)) u(j)),
+dul AS (SELECT doc_id, p,
+               {_limb.format(off="")} AS u_hi,
+               {_limb.format(off=" + 16")} AS u_lo
+        FROM dtok, (SELECT unnest(range(1, 17)) AS k) nib
+        GROUP BY doc_id, p, h),
+dft AS (SELECT a.doc_id, {_f3h} AS f_hi, {_f3l} AS f_lo
+        FROM dul a JOIN dul b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+                   JOIN dul c ON c.doc_id = a.doc_id AND c.p = a.p + 2),
+dsbb AS (SELECT doc_id, i, sum(2 * CAST((f_hi // pw) % 2 AS BIGINT) - 1) AS v
+         FROM dft, (SELECT * FROM (VALUES {_bitvals64}) b(i, pw)) bits
          GROUP BY doc_id, i),
 dsh0 AS (SELECT doc_id,
                 CAST(sum(CASE WHEN i = 0 AND v > 0 THEN CAST(-9223372036854775808 AS HUGEINT)
@@ -1253,36 +1304,9 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(nphd, 6) AS nphd,
     # unigram limbs for a 1-token window; bit rule 2*S_i > n_features.
     # rotl on UBIGINT-range values routed through HUGEINT ((x<<r)|(x>>64-r)
     # as disjoint-bit + instead of |); verified byte-exact vs the Python
-    # mirror in tests.
-    _M64 = "18446744073709551616::HUGEINT"
-
-    def _rotl(x: str, r: int) -> str:
-        return (
-            f"CAST(((({x}) * {1 << r}::HUGEINT) % {_M64}"
-            f" + (({x}) // {1 << (64 - r)}::HUGEINT)) AS UBIGINT)"
-        )
-
-    def _mix(ah: str, al: str, bh: str, bl: str) -> tuple[str, str]:
-        f_hi = (
-            f"xor(CAST((({_rotl(ah, 17)}::HUGEINT) + ({bh})::HUGEINT)"
-            f" % {_M64} AS UBIGINT), {_rotl(bl, 47)})"
-        )
-        f_lo = (
-            f"xor(CAST((({_rotl(al, 23)}::HUGEINT) + ({bl})::HUGEINT)"
-            f" % {_M64} AS UBIGINT), {_rotl(ah, 41)})"
-        )
-        return f_hi, f_lo
-
+    # mirror in tests.  (_rotl/_mix/_limb/_bitvals are the module-level
+    # mixer SQL helpers shared with the DATA-unit trigram oracle.)
     _mh, _ml = _mix("a.u_hi", "a.u_lo", "b.u_hi", "b.u_lo")
-    # 128-row (i, power-of-two divisor, which limb) table as exact literals
-    _bitvals = ", ".join(
-        f"({i}, {1 << (63 - i if i < 64 else 127 - i)}::UBIGINT, {1 if i < 64 else 0})"
-        for i in range(128)
-    )
-    _limb = (
-        "CAST(sum(CAST(strpos('0123456789abcdef', h[CAST(k{off} AS INT)]) - 1 AS HUGEINT)"
-        " * CAST(CAST(1 AS BIGINT) << CAST((16 - k) * 4 AS INT) AS HUGEINT)) AS UBIGINT)"
-    )
     seg_sh_cte = f"""
 WITH base AS (SELECT doc_id, {ARR} AS arr FROM documents),
 tok AS (SELECT doc_id, CAST(j AS BIGINT) AS p, len(arr) AS n, md5(arr[CAST(j AS INT)]) AS h

@@ -145,50 +145,6 @@ def simhash_batch(
     return out
 
 
-def simhash_unweighted_batch(
-    term_lists: list[np.ndarray], chunk_docs: int = 256
-) -> np.ndarray:
-    """simhash for per-doc DISTINCT feature sets (tf=1 each) -> int64.
-
-    Identical result to simhash_batch with all-ones tfs, but skips the
-    dense (docs x uniq) tf matrix + BLAS matmul: with tf=1 the bit sums
-    are a direct np.add.reduceat over the flat hash-bit matrix.  Built for
-    the shingle DATA unit, whose features are mostly batch-unique (the
-    matrix path allocated ~m*U floats for a one-hot matrix)."""
-    n = len(term_lists)
-    out = np.zeros(n, dtype=np.int64)
-    md5 = hashlib.md5
-    for start in range(0, n, chunk_docs):
-        end = min(start + chunk_docs, n)
-        sub = term_lists[start:end]
-        counts = np.array([len(t) for t in sub], dtype=np.int64)
-        total = int(counts.sum())
-        if total == 0:
-            continue
-        flat = np.fromiter(
-            (
-                int.from_bytes(md5(t.encode("utf-8")).digest()[:8], "big")
-                for tl in sub
-                for t in tl
-            ),
-            dtype=np.uint64,
-            count=total,
-        )
-        # int16 halves the bit-matrix footprint; per-doc feature counts are
-        # token-bounded (<< 32767) so the reduceat sums cannot overflow
-        bits = ((flat[:, None] >> _BITPOS[None, :]) & _U1).astype(np.int16)
-        nonempty = np.flatnonzero(counts > 0)
-        offs = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=offs[1:])
-        sums = np.add.reduceat(bits, offs[nonempty], axis=0).astype(np.int64)
-        v = 2 * sums - counts[nonempty, None]
-        packed = ((v > 0).astype(np.uint64) << _BITPOS[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
-        out[start:end][counts > 0] = packed.view(np.int64)
-    return out
-
-
 # --- 128-bit variant (granular segment simprints) ---------------------------
 # The reference's simprint vectors are 128-bit binary hamming vectors
 # (iscc_search/indexes/simprint/usearch_core.py:49 ndim=128 default, b1
@@ -241,6 +197,17 @@ def bigram_hash128_py(
     f_hi = ((rotl(a_hi, 17) + b_hi) & _M64) ^ rotl(b_lo, 47)
     f_lo = ((rotl(a_lo, 23) + b_lo) & _M64) ^ rotl(a_hi, 41)
     return f_hi, f_lo
+
+
+def trigram_hash128_py(
+    a: tuple[int, int], b: tuple[int, int], c: tuple[int, int]
+) -> tuple[int, int]:
+    """FROZEN trigram feature hash (format_version 4 DATA unit): the
+    bigram mixer folded left over three tokens' unigram limb pairs —
+    mix(mix(a, b), c).  Scalar mirror of the vectorized composition in
+    textnorm._data_simhash_batch and of the DuckDB oracle SQL."""
+    m = bigram_hash128_py(*a, *b)
+    return bigram_hash128_py(*m, *c)
 
 
 def bigram_limbs128(

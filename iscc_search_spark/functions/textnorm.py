@@ -175,7 +175,10 @@ def _group_tokens_batch(doc_tokens: list[list[str]]):
     than per-doc object argsort at 500k tokens/batch).
 
     Returns per-doc lists: (terms arrays, tfs arrays, positions list of
-    per-term int32 arrays, doc lens array).
+    per-term int32 arrays, doc lens array, flat token codes, unique
+    vocabulary) — the factorize products ride along so the derived
+    similarity stages (trigram DATA hash, segment simprints) reuse ONE
+    flatten + factorize for the whole batch.
     """
     import numpy as np
 
@@ -185,7 +188,10 @@ def _group_tokens_batch(doc_tokens: list[list[str]]):
     if total == 0:
         e = np.empty(0, dtype=object)
         z = np.empty(0, dtype=np.int64)
-        return [e] * n_docs, [z] * n_docs, [[] for _ in range(n_docs)], lens
+        return (
+            [e] * n_docs, [z] * n_docs, [[] for _ in range(n_docs)], lens,
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=object),
+        )
     flat = np.empty(total, dtype=object)
     pos = 0
     for d in doc_tokens:
@@ -221,7 +227,10 @@ def _group_tokens_batch(doc_tokens: list[list[str]]):
         a, b = gdoc_off[i], gdoc_off[i + 1]
         terms_out.append(gterm[a:b])
         tfs_out.append(gtfs[a:b])
-    return terms_out, tfs_out, (within, gstarts, gdoc_off, doc_off), lens
+    return (
+        terms_out, tfs_out, (within, gstarts, gdoc_off, doc_off), lens,
+        codes, uniq,
+    )
 
 
 def _encode_positions_batch(within, gstarts, gdoc_off, doc_off, n_docs: int):
@@ -250,26 +259,48 @@ def _encode_positions_batch(within, gstarts, gdoc_off, doc_off, n_docs: int):
     return blobs, offs_out
 
 
-def _shingle_sets(doc_tokens: list[list[str]]):
-    """Per-doc DISTINCT 3-gram shingle arrays (space-joined token windows)
-    — the DATA_V0 stand-in's feature set (order-free, so a set is exact)."""
+def _data_simhash_batch(codes, limbs, lens, doc_off):
+    """Per-doc 64-bit DATA_V0 simhash over word-trigram feature
+    OCCURRENCES (format_version 4; DuckDB-oracle-mirrored).  Each trigram
+    (a, b, c) hashes to 128 bits by folding the frozen bigram mixer left
+    over the tokens' unigram md5 limbs — mix(mix(a, b), c), no trigram
+    strings and no per-trigram md5 (the format-3 lesson applied to the
+    DATA unit: the v2 path md5'd every distinct space-joined shingle
+    STRING, an open vocabulary with ~zero cache hits that dominated the
+    derived stage-A CPU).  Occurrences carry multiplicity — the same
+    2*S_i > n_features rule as the segment simprints (v2 deduped shingle
+    strings first; real webtext repeats <1%% of its trigrams, and keeping
+    multiplicity removes a global lexsort+dedup that cost ~2x the hashing
+    itself).  Trigram starts are position-ordered, hence contiguous per
+    doc — the fold needs no sort at all.  Bit i of the result (HIGH limb
+    lanes) is 1 iff 2*S_i > n; docs with < 3 tokens have no features and
+    hash to 0 (the v2 convention)."""
     import numpy as np
 
-    out = []
-    for toks in doc_tokens:
-        if len(toks) >= 3:
-            out.append(
-                np.array(
-                    list({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}),
-                    dtype=object,
-                )
-            )
-        else:
-            out.append(np.empty(0, dtype=object))
-    return out
+    from iscc_search_spark.functions.simhash import (
+        bigram_limbs128,
+        segment_simhash128_flat,
+    )
+
+    n_docs = len(lens)
+    total = int(doc_off[-1])
+    if total == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+    r = np.arange(total, dtype=np.int64) - doc_off[doc_idx]
+    fp = np.flatnonzero(r < lens[doc_idx] - 2)  # trigram start positions
+    if len(fp) == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    a, b, c = codes[fp], codes[fp + 1], codes[fp + 2]
+    m_hi, m_lo = bigram_limbs128(limbs[a, 0], limbs[a, 1], limbs[b, 0], limbs[b, 1])
+    f_hi, f_lo = bigram_limbs128(m_hi, m_lo, limbs[c, 0], limbs[c, 1])
+    counts = np.bincount(doc_idx[fp], minlength=n_docs)
+    bounds = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=bounds[1:])
+    return segment_simhash128_flat(f_hi, f_lo, bounds)[:, 0]
 
 
-def _segments_batch(doc_tokens, doc_spans, seg_tokens: int = SEG_TOKENS):
+def _segments_batch(doc_tokens, doc_spans, seg_tokens: int = SEG_TOKENS, fact=None):
     """Per-doc [(seg_idx, n_tokens, offset, size, simhash, sh_lo)] — fixed
     ``seg_tokens`` token windows, word-bigram shingle features (with
     multiplicity; a 1-token window falls back to the bare token), 128-bit
@@ -299,13 +330,16 @@ def _segments_batch(doc_tokens, doc_spans, seg_tokens: int = SEG_TOKENS):
     total = int(lens.sum())
     if total == 0:
         return [[] for _ in doc_tokens]
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for d in doc_tokens:
-        flat[pos : pos + len(d)] = d
-        pos += len(d)
-    codes, uniq = pd.factorize(flat)
-    limbs = unigram_limbs128(uniq)
+    if fact is not None:  # (codes, limbs) shared with the rest of the batch
+        codes, limbs = fact
+    else:
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for d in doc_tokens:
+            flat[pos : pos + len(d)] = d
+            pos += len(d)
+        codes, uniq = pd.factorize(flat)
+        limbs = unigram_limbs128(uniq)
     doc_off = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=doc_off[1:])
     doc_idx = np.repeat(np.arange(n_docs), lens)
@@ -360,7 +394,7 @@ def _segments_batch(doc_tokens, doc_spans, seg_tokens: int = SEG_TOKENS):
 def _toktf_batch(text: pd.Series, derived: bool) -> pd.DataFrame:
     from iscc_search_spark.functions.simhash import (
         simhash_batch,
-        simhash_unweighted_batch,
+        unigram_limbs128,
     )
 
     if derived:
@@ -370,7 +404,9 @@ def _toktf_batch(text: pd.Series, derived: bool) -> pd.DataFrame:
     else:
         doc_tokens = [tokenize_py(t) if t is not None else [] for t in text]
         doc_spans = None
-    terms_out, tfs_out, posinfo, lens = _group_tokens_batch(doc_tokens)
+    terms_out, tfs_out, posinfo, lens, codes, uniq = _group_tokens_batch(
+        doc_tokens
+    )
     within, gstarts, gdoc_off, doc_off = (
         posinfo
         if isinstance(posinfo, tuple)
@@ -388,11 +424,11 @@ def _toktf_batch(text: pd.Series, derived: bool) -> pd.DataFrame:
     )
     sh = simhash_batch(terms_out, tfs_out)
     if derived:
-        shingles = _shingle_sets(doc_tokens)
-        # distinct shingles, tf=1 each -> the unweighted fast path (no
-        # dense tf matrix, no global cache — shingles are batch-unique)
-        data_sh = simhash_unweighted_batch(shingles)
-        segs = _segments_batch(doc_tokens, doc_spans)
+        # ONE factorize + md5-limb table feeds BOTH derived similarity
+        # stages (trigram DATA hash + segment simprints)
+        limbs = unigram_limbs128(uniq)
+        data_sh = _data_simhash_batch(codes, limbs, lens, doc_off)
+        segs = _segments_batch(doc_tokens, doc_spans, fact=(codes, limbs))
     else:
         data_sh = [None] * len(doc_tokens)  # null, not 0: "not computed"
         segs = [None] * len(doc_tokens)
@@ -408,6 +444,33 @@ def _toktf_batch(text: pd.Series, derived: bool) -> pd.DataFrame:
             "segs": segs,
         }
     )
+
+
+@F.pandas_udf(T.LongType())
+def data_simhash_udf(text: pd.Series) -> pd.Series:
+    """Standalone DATA_V0 trigram simhash (the same frozen format-4
+    definition stage A fuses into tok_tf_simhash_udf) for from-text unit
+    derivation outside the build (operators/multiunit.asset_units)."""
+    import numpy as np
+
+    from iscc_search_spark.functions.simhash import unigram_limbs128
+
+    doc_tokens = [tokenize_py(t) if t is not None else [] for t in text]
+    n_docs = len(doc_tokens)
+    lens = np.array([len(d) for d in doc_tokens], dtype=np.int64)
+    total = int(lens.sum())
+    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=doc_off[1:])
+    if total == 0:
+        return pd.Series(np.zeros(n_docs, dtype=np.int64))
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for d in doc_tokens:
+        flat[pos : pos + len(d)] = d
+        pos += len(d)
+    codes, uniq = pd.factorize(flat)
+    limbs = unigram_limbs128(uniq)
+    return pd.Series(_data_simhash_batch(codes, limbs, lens, doc_off))
 
 
 @F.pandas_udf(TOKTF_SCHEMA)

@@ -40,8 +40,7 @@ from pyspark.sql import functions as F
 
 from iscc_search_spark.functions.hashing import instance_expr as _instance_expr
 from iscc_search_spark.functions.simhash import hamming_expr, simhash_udf
-from iscc_search_spark.functions.textnorm import tokens_expr
-from iscc_search_spark.operators.dedup import _shingles_expr
+from iscc_search_spark.functions.textnorm import data_simhash_udf, tokens_expr
 from iscc_search_spark.operators.query import doc_term_tf
 from iscc_search_spark.operators.simprints import band_widths
 
@@ -60,16 +59,12 @@ def asset_units(
     ).select(
         "doc_id", F.coalesce(simhash_udf("terms", "tfs"), F.lit(0)).alias("content_sh")
     )
+    # format_version 4: trigram-mixer DATA hash, the same frozen
+    # definition the build's fused stage-A UDF computes
     shing = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(_shingles_expr(text_col, 3)).alias("sh"),
-    ).select(
-        "doc_id",
         F.coalesce(
-            simhash_udf(
-                "sh", F.transform("sh", lambda _: F.lit(1).cast("long"))
-            ),
-            F.lit(0),
+            data_simhash_udf(F.col(text_col)), F.lit(0)
         ).alias("data_sh"),
     )
     inst = docs.select(
