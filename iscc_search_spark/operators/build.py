@@ -807,15 +807,15 @@ def _write_blocks(blocks: DataFrame, path: str, n_buckets: int, n_shards: int) -
     )
 
 
-def _write_term_stats(spark: SparkSession, cat: IndexCatalog) -> None:
-    """Global exact term stats, derived from the written block headers —
-    a (bucket, term, n) columnar scan of the small blocks table, never a
-    corpus re-scan (df = sum of block counts; (doc, term) is unique)."""
-    stats = (
-        spark.read.parquet(cat.postings)
-        .groupBy("bucket", "term")
-        .agg(F.sum("n").alias("df"))
-    )
+def _write_term_stats(blocks: DataFrame, cat: IndexCatalog) -> None:
+    """Global exact term stats from the block rows just computed (df = sum
+    of block counts; (doc, term) is unique).  Takes the CACHED blocks
+    DataFrame rather than re-reading the written postings: partition
+    discovery + footer reads over the n_buckets x n_shards dir layout are
+    driver-bound and core-count independent (measured ~3 s at 512 dirs —
+    pure serial tax on the N->4N scaling leg), while the cached partial
+    aggregation is map-side and scales with the cluster."""
+    stats = blocks.groupBy("bucket", "term").agg(F.sum("n").alias("df"))
     (
         stats.repartition("bucket")
         .sortWithinPartitions("term")
@@ -880,8 +880,19 @@ def build_postings(
         .groupBy("shard", "tgroup")
         .applyInPandas(_encode_blocks_fn(cfg), POSTINGS_SCHEMA)
     )
-    _write_blocks(blocks, cat.postings, cfg.term_buckets, n_shards)
-    _write_term_stats(spark, cat)
+    # cache the encoded blocks across the two consumers (postings write +
+    # term_stats aggregation): without it term_stats either re-encodes the
+    # corpus or re-reads the 512-dir layout it just wrote (driver-bound
+    # listing, a serial term on the scaling leg).  MEMORY_AND_DISK spills
+    # gracefully when the blob volume outgrows executor storage at scale.
+    from pyspark import StorageLevel
+
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        _write_blocks(blocks, cat.postings, cfg.term_buckets, n_shards)
+        _write_term_stats(blocks, cat)
+    finally:
+        blocks.unpersist()
 
     secs = time.time() - t0
     _write_index_meta(cat, cfg, n_docs, avgdl, n_shards, run_id)
