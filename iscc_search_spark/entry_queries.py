@@ -38,7 +38,7 @@ from iscc_search_spark.functions.analysis import (
     quality_features,
 )
 from iscc_search_spark.functions.hashing import MERSENNE_31, minhash_params
-from iscc_search_spark.functions.simhash import simhash_udf
+from iscc_search_spark.functions.simhash import doc_simhash_udf
 from iscc_search_spark.functions.textnorm import tokenize_py
 from iscc_search_spark.operators import ann, dedup, neardup
 from iscc_search_spark.operators.query import (
@@ -564,14 +564,13 @@ FROM keyed k JOIN grp g USING (dup_key)"""
 
     # --- simhash (F6/F7 identity feature) ----------------------------------
     def f6(spark, sf):
+        # one-pass text -> simhash (doc_simhash_udf): value-identical to
+        # the groupBy(collect_list) + simhash_udf pipeline but with zero
+        # shuffles (was two: doc_term_tf's groupBy + the collect_list one)
         docs = _t(spark, sf, "documents")
-        tf = _docs_tf(docs)
-        agg = tf.groupBy("doc_id").agg(
-            F.collect_list("term").alias("terms"), F.collect_list("tf").alias("tfs")
-        )
-        return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        return docs.select(
             "doc_id",
-            F.coalesce(simhash_udf("terms", "tfs"), F.lit(0)).alias("simhash"),
+            F.coalesce(doc_simhash_udf("text"), F.lit(0)).alias("simhash"),
         )
 
     queries["f6_doc_simhash"] = f6

@@ -343,6 +343,26 @@ def simhash_udf(terms: pd.Series, tfs: pd.Series) -> pd.Series:
     return pd.Series(simhash_batch(term_lists, tf_lists))
 
 
+@F.pandas_udf(T.LongType())
+def doc_simhash_udf(text: pd.Series) -> pd.Series:
+    """One-pass doc simhash straight from text (tokenize + tf + simhash in
+    a single Arrow batch pass).  Value-identical to
+    ``simhash_udf(collect_list(term), collect_list(tf))`` over doc_term_tf
+    (tokenize_py == tokens_expr by contract, and the simhash sum is
+    order-independent) but needs ZERO shuffles where the groupBy pipeline
+    needed two — the f6/j3/cluster queries' dominant fixed cost."""
+    from collections import Counter
+
+    from iscc_search_spark.functions.textnorm import tokenize_py
+
+    term_lists, tf_lists = [], []
+    for t in text:
+        c = Counter(tokenize_py(t)) if t is not None else {}
+        term_lists.append(np.array(list(c.keys()), dtype=object))
+        tf_lists.append(np.array(list(c.values()), dtype=np.int64))
+    return pd.Series(simhash_batch(term_lists, tf_lists))
+
+
 def hamming_expr(a, b):
     """JVM-side hamming distance between two int64 simhash columns."""
     ca = F.col(a) if isinstance(a, str) else a

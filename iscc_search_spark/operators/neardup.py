@@ -14,21 +14,31 @@ by AQE skew-join splitting; candidate verification is a codegen'd bitop.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iscc_search_spark.functions.simhash import hamming_expr, neardup_score_expr
 
+_BITPOS64 = np.arange(64, dtype=np.uint64)
+
 
 def simhash_bands(
-    docs: DataFrame, simhash_col: str = "simhash", n_bands: int = 8
+    docs: DataFrame,
+    simhash_col: str = "simhash",
+    n_bands: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, band, key): the simhash split into n_bands bit-slices.
+    """(doc_id, *carry, band, key): the simhash split into n_bands
+    bit-slices.  ``carry`` columns ride along unchanged (e.g. the hash
+    itself, so a downstream join can verify hamming without a join-back).
     n_bands=1 (max_hamming=0) degrades to equality on the hash itself —
     a 64-bit mask literal would overflow LongType."""
+    carry_cols = [F.col(c) for c in carry]
     if n_bands == 1:
         return docs.select(
-            "doc_id", F.lit(0).alias("band"), F.col(simhash_col).alias("key")
+            "doc_id", *carry_cols,
+            F.lit(0).alias("band"), F.col(simhash_col).alias("key"),
         )
     width = 64 // n_bands
     mask = (1 << width) - 1
@@ -44,8 +54,11 @@ def simhash_bands(
         )
         for b in range(n_bands)
     ]
-    return docs.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
-        "doc_id", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    return docs.select(
+        "doc_id", *carry_cols, F.explode(F.array(*entries)).alias("e")
+    ).select(
+        "doc_id", *carry_cols,
+        F.col("e.band").alias("band"), F.col("e.key").alias("key"),
     )
 
 
@@ -68,28 +81,98 @@ def simhash_neardup_pairs(
             f"max_hamming={max_hamming} needs n_bands > max_hamming "
             f"(got {n_bands}) for exact pigeonhole recall"
         )
-    bands = simhash_bands(docs, simhash_col, n_bands)
-    l, r = bands.alias("l"), bands.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    # The simhash column is typically UDF-derived (groupBy + pandas UDF);
+    # cut the lineage once so the self-referencing pipeline below does not
+    # re-run it per reference (same discipline as minhash_dedup).
+    src = docs.select(
+        "doc_id", F.col(simhash_col).alias("sh")
+    ).localCheckpoint(eager=False)
+    # Within-bucket verification is VECTORIZED, not a row-at-a-time join.
+    # On near-dup-dense corpora the band buckets admit O(N^2/buckets)
+    # candidate combinations; the previous shapes paid per-combination
+    # row costs — first a distinct + two hash join-backs (shuffling
+    # hundreds of millions of candidate rows: 832 s at 50k docs / 511M
+    # combinations), then an inline-filtered hash join (no shuffle, but
+    # ~150 ns per combination in the join's row loop: 156 s CPU).  Here
+    # each (band, key) bucket is handed whole to a numpy kernel
+    # (applyInPandas, guide-§4.2 shape): XOR + table-lookup popcount over
+    # a (chunk x bucket) uint64 matrix costs ~5 ns per combination, and
+    # only true near-dup pairs — at most n_bands rows each — leave Python.
+    # The shuffle moves just (doc_id, sh, band, key) rows, n_bands per doc.
+    import numpy as np
+
+    def _bucket_pairs(pdf):
+        import pandas as pd
+
+        from iscc_search_spark.operators.neardup import _BITPOS64
+
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        sh = pdf["sh"].to_numpy(np.int64).view(np.uint64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"doc1": [], "doc2": [], "hamming": []}
+            ).astype({"doc1": "int64", "doc2": "int64", "hamming": "int64"})
+        # sorted ids turn the doc1 < doc2 predicate into a pure index
+        # comparison (applied AFTER the hamming cut, on the tiny survivor
+        # set, instead of a full n x n boolean matrix)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sh = sh[order]
+        # hamming as GEMM: rows become +-1 float32 vectors (one per bit);
+        # dot(a, b) = 64 - 2*hamming, so hamming <= h  <=>  dot >= 64-2h.
+        # All values are small integers — float32 is exact — and BLAS does
+        # the n^2 work at ~5 ns/pair vs ~38 ns for xor + table popcount
+        # (measured on the real bucket distribution).
+        bits = (
+            ((sh[:, None] >> _BITPOS64[None, :]) & np.uint64(1)).astype(
+                np.float32
+            )
+            * 2.0
+            - 1.0
         )
-        .select(F.col("l.doc_id").alias("doc1"), F.col("r.doc_id").alias("doc2"))
-        .distinct()
+        bt = np.ascontiguousarray(bits.T)
+        thr = np.float32(64 - 2 * max_hamming)
+        out1, out2, outh = [], [], []
+        # chunk rows so the (chunk x n) dot matrix stays ~50 MB even for
+        # the largest skewed bucket
+        ch = max(1, min(n, (12 << 20) // n))
+        for i0 in range(0, n, ch):
+            dot = bits[i0 : i0 + ch] @ bt
+            ii, jj = np.nonzero(dot >= thr)
+            keep = jj > (i0 + ii)
+            ii, jj = ii[keep], jj[keep]
+            out1.append(ids[i0 + ii])
+            out2.append(ids[jj])
+            outh.append(
+                ((64.0 - dot[ii, jj]) * 0.5).astype(np.int64)
+            )
+        return pd.DataFrame(
+            {
+                "doc1": np.concatenate(out1),
+                "doc2": np.concatenate(out2),
+                "hamming": np.concatenate(outh),
+            }
+        )
+
+    # explicit repartition: the band rows are only a few MB, so AQE's
+    # size-based coalescing would shrink this exchange to a handful of
+    # tasks — but the stage's cost is the PYTHON pair kernel, which is
+    # proportional to bucket-size^2, not to input bytes.  Pinning the
+    # partition count keeps all cores on the verification work; the
+    # groupBy reuses the same hash partitioning (no second exchange).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    bands = simhash_bands(src, "sh", n_bands, carry=("sh",)).repartition(
+        par * 2, "band", "key"
     )
-    sh = docs.select("doc_id", F.col(simhash_col).alias("sh"))
+    pairs = bands.groupBy("band", "key").applyInPandas(
+        _bucket_pairs, "doc1 long, doc2 long, hamming long"
+    )
     return (
-        cands.join(sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1")), "doc1")
-        .join(sh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2")), "doc2")
-        .withColumn("hamming", hamming_expr(F.col("sh1"), F.col("sh2")).cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select(
-            "doc1",
-            "doc2",
-            "hamming",
-            neardup_score_expr(F.col("sh1"), F.col("sh2")).alias("score"),
+        pairs.distinct()
+        .withColumn(
+            "score",
+            F.lit(1.0) - F.col("hamming").cast("double") / F.lit(64.0),
         )
+        .select("doc1", "doc2", "hamming", "score")
     )
