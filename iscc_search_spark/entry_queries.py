@@ -566,8 +566,12 @@ FROM keyed k JOIN grp g USING (dup_key)"""
     def f6(spark, sf):
         # one-pass text -> simhash (doc_simhash_udf): value-identical to
         # the groupBy(collect_list) + simhash_udf pipeline but with zero
-        # shuffles (was two: doc_term_tf's groupBy + the collect_list one)
-        docs = _t(spark, sf, "documents")
+        # shuffles (was two: doc_term_tf's groupBy + the collect_list one).
+        # spread_small: few-row-group inputs otherwise run the UDF on a
+        # handful of skewed scan tasks.
+        from iscc_search_spark.session import spread_small
+
+        docs = spread_small(_t(spark, sf, "documents").select("doc_id", "text"))
         return docs.select(
             "doc_id",
             F.coalesce(doc_simhash_udf("text"), F.lit(0)).alias("simhash"),

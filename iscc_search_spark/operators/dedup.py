@@ -23,13 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from iscc_search_spark.functions.hashing import (
-    MERSENNE_31,
-    h32_expr,
-    minhash_expr,
-    minhash_params,
-)
 from iscc_search_spark.functions.textnorm import tokens_expr
 
 
@@ -72,6 +67,120 @@ def _shingles_expr(text_col: str, n: int):
     )).otherwise(F.array().cast("array<string>"))
 
 
+def _minhash_sig_udf(n_perm: int, ngram: int, seed: int):
+    """Arrow-batched text -> minhash signature (array of n_perm longs, or
+    null for docs with no shingles).
+
+    Value-identical to explode(array_distinct(shingles)) + h32_expr +
+    n_perm min-aggregations, but computed in ONE pass with the md5 run
+    once per UNIQUE shingle of the batch (shingle vocabularies are tiny
+    relative to occurrence counts — the JVM expression path paid one md5
+    + conv per occurrence, measured 83 s of CPU at 50k docs / 50M
+    occurrences vs ~2 s here).  Shingles are factorized as integer
+    token-code windows; the shingle STRING is only materialized once per
+    unique shingle to feed md5."""
+    import numpy as np
+
+    from iscc_search_spark.functions.hashing import (
+        MERSENNE_31,
+        h32_py,
+        minhash_params,
+    )
+
+    a, b = minhash_params(n_perm, seed)
+    a_arr = np.array(a, dtype=np.int64)[:, None]
+    b_arr = np.array(b, dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(text):
+        import pandas as pd
+
+        from iscc_search_spark.functions.textnorm import tokenize_py
+
+        docs_tokens = [tokenize_py(t) if t is not None else [] for t in text]
+        n_docs = len(docs_tokens)
+        lens = np.array([len(t) for t in docs_tokens], dtype=np.int64)
+        wins = np.maximum(lens - (ngram - 1), 0)
+        total_w = int(wins.sum())
+        out: list = [None] * n_docs
+        if total_w == 0:
+            return pd.Series(out)
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for t in docs_tokens:
+            flat[pos : pos + len(t)] = t
+            pos += len(t)
+        codes, uniq_tokens = pd.factorize(flat)
+        codes = codes.astype(np.int64)
+        v = len(uniq_tokens)
+        doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lens, out=doc_off[1:])
+        win_off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(wins, out=win_off[1:])
+        wdoc = np.repeat(np.arange(n_docs, dtype=np.int64), wins)
+        starts = (
+            np.arange(total_w, dtype=np.int64)
+            - win_off[wdoc]
+            + doc_off[wdoc]
+        )
+        if ngram == 1 or float(v) ** ngram < 2**62:
+            comb = codes[starts]
+            for j in range(1, ngram):
+                comb = comb * v + codes[starts + j]
+        else:  # giant batch vocabulary: refactorize per step (no overflow)
+            levels: list = []
+            comb = codes[starts]
+            for j in range(1, ngram):
+                key = comb * v + codes[starts + j]
+                lu, comb = np.unique(key, return_inverse=True)
+                levels.append(lu)
+        # per-doc distinct shingles
+        order = np.lexsort((comb, wdoc))
+        wd, cb = wdoc[order], comb[order]
+        keep = np.ones(len(cb), dtype=bool)
+        keep[1:] = (wd[1:] != wd[:-1]) | (cb[1:] != cb[:-1])
+        wd, cb = wd[keep], cb[keep]
+        # md5 once per unique shingle of the batch
+        gu, ginv = np.unique(cb, return_inverse=True)
+        if ngram == 1:
+            strs = [uniq_tokens[int(g)] for g in gu]
+        elif float(v) ** ngram < 2**62:
+            strs = []
+            for g in gu.tolist():
+                parts = []
+                for _ in range(ngram):
+                    parts.append(uniq_tokens[g % v])
+                    g //= v
+                strs.append(" ".join(reversed(parts)))
+        else:
+            strs = []
+            for g in gu.tolist():
+                parts = [uniq_tokens[g % v]]
+                g //= v
+                for lu in reversed(levels[:-1]):
+                    g = int(lu[g])
+                    parts.append(uniq_tokens[g % v])
+                    g //= v
+                parts.append(uniq_tokens[g])
+                strs.append(" ".join(reversed(parts)))
+        h32u = np.fromiter(
+            (h32_py(s) for s in strs), dtype=np.int64, count=len(strs)
+        )
+        perm = (h32u[None, :] % MERSENNE_31 * a_arr + b_arr) % MERSENNE_31
+        pv = perm[:, ginv]  # (n_perm, n_flat_distinct)
+        bounds = np.flatnonzero(np.r_[True, wd[1:] != wd[:-1]])
+        mins = np.minimum.reduceat(pv, bounds, axis=1)
+        for i, d in enumerate(wd[bounds].tolist()):
+            out[d] = mins[:, i].tolist()
+        return pd.Series(out)
+
+    # asNondeterministic: the result feeds a null-filter plus n_perm
+    # getItem projections — without the marker the optimizer inlines the
+    # UDF into every consumer (17 evaluations of the whole kernel,
+    # measured 5.0 s vs 0.9 s for this stage; guide §4.4 duplication)
+    return sig.asNondeterministic()
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -82,28 +191,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, m0..m{n_perm-1}) minhash signature over the shingle set.
 
-    The input is re-spread to the session's default parallelism first: a
-    small-file corpus otherwise scans in a handful of tasks and the
-    md5 + 16-permutation work (the dominant cost, measured 13 s of a
-    19 s sf0.1 pipeline on 5 input partitions) runs on as many cores as
-    there are files.  Values are unchanged — groupBy(doc_id) follows."""
-    a, b = minhash_params(n_perm, seed)
-    spread = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if spread.rdd.getNumPartitions() < par:
-        spread = spread.repartition(par)
-    sh = spread.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(_shingles_expr(text_col, ngram))
-        ).alias("shingle"),
+    One Arrow pass (see _minhash_sig_udf) — no shuffle: the old
+    explode + md5-per-occurrence + groupBy(doc_id) pipeline paid the md5
+    per shingle occurrence AND a corpus-sized exchange.  Docs with no
+    shingles yield a null signature and are dropped, exactly as explode
+    dropped their empty arrays.  The input is re-spread to the session's
+    default parallelism first so the tokenize/hash work uses every core
+    even on few-file corpora."""
+    from iscc_search_spark.session import spread_small
+
+    sig = _minhash_sig_udf(n_perm, ngram, seed)
+    spread = spread_small(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
     )
-    h = sh.withColumn("h32", h32_expr("shingle"))
-    aggs = [
-        F.min(minhash_expr(F.col("h32"), a[k], b[k])).alias(f"m{k}")
-        for k in range(n_perm)
-    ]
-    return h.groupBy("doc_id").agg(*aggs)
+    return (
+        spread.select("doc_id", sig(text_col).alias("_sig"))
+        .filter(F.col("_sig").isNotNull())
+        .select(
+            "doc_id",
+            *[F.col("_sig")[k].alias(f"m{k}") for k in range(n_perm)],
+        )
+    )
 
 
 def lsh_candidate_pairs(
@@ -183,36 +291,42 @@ def jaccard_verify(
         .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
         .distinct()
     )
-    # prune to candidate docs BEFORE the shingle explode (exploding the
-    # whole corpus and semi-joining after multiplied the generate work by
-    # corpus/candidates — measured 4.8 s of a 19 s sf0.1 pipeline)
+    # One row per candidate doc carrying its DISTINCT shingle set as an
+    # array (no explode): the intersection is a JVM array_intersect per
+    # pair.  The previous shape (explode + join pairs on doc1, then on
+    # (doc2, s), then two size joins) shuffled per-shingle rows and
+    # concentrated a hot doc's whole fanout (pairs x shingles) in one
+    # task — the measured straggler.  Here every join key (doc1 / doc2)
+    # is UNIQUE on the doc_sets side, so join output == |pairs| rows and
+    # the per-pair work is a bounded set intersection.
     # (no broadcast hint: the candidate set can be corpus-scale in a real
     # dedup run — AQE picks broadcast when it is actually small)
-    pruned = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col)
-    ).join(cand_docs, "doc_id", "left_semi")
-    shing = pruned.select(
-        "doc_id",
-        F.explode(F.array_distinct(_shingles_expr(text_col, ngram))).alias("s"),
-    )
-    sizes = shing.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        pairs.join(
-            shing.select(F.col("doc_id").alias("doc1"), "s"), "doc1"
+    doc_sets = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(cand_docs, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(_shingles_expr(text_col, ngram)).alias("ss"),
         )
-        .join(shing.select(F.col("doc_id").alias("doc2"), "s"), ["doc2", "s"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("inter"))
     )
     out = (
-        pairs.join(inter, ["doc1", "doc2"], "left")
-        .na.fill({"inter": 0})
-        .join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1")), "doc1")
-        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2")), "doc2")
+        pairs.join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc1"), F.col("ss").alias("ss1")
+            ),
+            "doc1",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc2"), F.col("ss").alias("ss2")
+            ),
+            "doc2",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ss1", "ss2")))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
+            / (F.size("ss1") + F.size("ss2") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
