@@ -33,21 +33,38 @@ def quality_features(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, n_tokens, n_chars, uniq_ratio, stopword_ratio, avg_token_len,
-    alnum_ratio, quality_score) — deterministic lexical quality features."""
-    toks = tokens_expr(text_col)
+    alnum_ratio, quality_score) — deterministic lexical quality features.
+
+    The token array is materialized once behind an exchange (spread_small)
+    — inlined, the split/regex re-ran for every feature column — and the
+    two interpreted higher-order functions are replaced by codegen
+    built-ins: total token chars == length(concat_ws('', toks)), and the
+    stopword count == sum over the (distinct) stoplist of per-word tf via
+    size(toks) - size(array_remove(toks, w)).  Integer-identical, so every
+    derived double is bit-identical."""
+    from iscc_search_spark.session import spread_small
+
+    base = spread_small(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col),
+            tokens_expr(text_col).alias("_toks"),
+        )
+    )
+    toks = F.col("_toks")
     n_tokens = F.size(toks).cast("long")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+    n_stop = sum(
+        (F.size(toks) - F.size(F.array_remove(toks, w)))
+        for w in STOPWORDS_EN
+    ).cast("long")
     n_chars = F.length(text_col).cast("long")
     n_alnum = (
         n_chars - F.length(F.regexp_replace(F.lower(F.col(text_col)), "[0-9a-z]", ""))
     ).cast("long")
-    token_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
+    token_chars = F.length(F.concat_ws("", toks)).cast("long")
     n_uniq = F.size(F.array_distinct(toks)).cast("long")
-    out = docs.select(
-        F.col(id_col).alias("doc_id"),
+    out = base.select(
+        "doc_id",
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars"),
         (n_uniq.cast("double") / n_tokens.cast("double")).alias("uniq_ratio"),
@@ -70,11 +87,22 @@ def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     Ties break by language code ascending ('de' < 'en' < 'fr'); docs with
     zero lexicon hits predict 'und' (undetermined).
     """
-    toks = tokens_expr(text_col)
+    from iscc_search_spark.session import spread_small
+
+    base = spread_small(
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("_toks")
+        )
+    )
+    toks = F.col("_toks")
     counts = {}
     for lang, words in LANG_LEXICON.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        counts[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        # per-word tf via array_remove (codegen) — the interpreted HOF
+        # filter cost ~1 us per token; word lists are distinct so the sum
+        # equals the filter count exactly
+        counts[lang] = sum(
+            (F.size(toks) - F.size(F.array_remove(toks, w))) for w in words
+        )
     best = F.greatest(*counts.values())
     pred = (
         F.when(best == 0, F.lit("und"))
@@ -82,7 +110,7 @@ def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
         .when(counts["en"] == best, F.lit("en"))
         .otherwise(F.lit("fr"))
     )
-    return docs.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+    return base.select("doc_id", pred.alias("lang_pred"))
 
 
 def fingerprint_expr(text_col: str | Column) -> Column:

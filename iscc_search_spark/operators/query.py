@@ -84,6 +84,87 @@ def query_idf(
     }
 
 
+def _bm25_scores_onepass(
+    docs: DataFrame,
+    terms: list[str],
+    bm25: BM25Config,
+    text_col: str,
+    doc_col: str,
+) -> DataFrame:
+    """(doc_id, score), bit-identical to the relational bm25_scores path.
+
+    tf of a literal term t is size(toks) - size(array_remove(toks, t)) —
+    codegen'd array built-ins, one pass per term over each doc's token
+    array, zero exchanges.  Job 1 aggregates (N, sum(dl), df per term) in
+    one map-side-combined pass; job 2 evaluates the per-doc score as the
+    ascending-term left fold of idf*tfnorm addends (absent terms add an
+    exact float64 0.0, which leaves the accumulated sum bit-identical to
+    the matched-rows-only fold of the relational path / oracle).
+    """
+    from iscc_search_spark.session import spread_small
+
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    # Tokenize ONCE: the token array is materialized behind an exchange +
+    # lazy localCheckpoint so the per-term projections reference the
+    # stored column.  Inlined (CollapseProject) the split/regex would
+    # re-run per _tf column and again inside the pushed-down filter —
+    # ~60 evaluations per row, measured slower than the relational path.
+    # spread_small also fixes few-row-group scan skew for the
+    # tokenize-heavy stage.
+    base = spread_small(
+        docs.select(F.col(doc_col).alias("doc_id"), tokens_expr(text_col).alias("_toks"))
+    ).localCheckpoint(eager=False)
+    toks = F.col("_toks")
+    proj = base.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("doc_len"),
+        *[
+            (F.size(toks) - F.size(F.array_remove(toks, t)))
+            .cast("long")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = proj.agg(
+        F.count("*").alias("n"),
+        F.sum("doc_len").alias("total"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        return empty
+    avgdl = int(stats["total"]) / n_docs
+    term_df = {
+        t: int(stats[f"_df{i}"])
+        for i, t in enumerate(terms)
+        if int(stats[f"_df{i}"] or 0) > 0
+    }
+    if not term_df:
+        return empty
+    idf = query_idf(term_df, n_docs)
+    k1, b = bm25.k1, bm25.b
+    score = F.lit(0.0)
+    matched = F.lit(False)
+    for i, t in enumerate(terms):  # ascending — the frozen fold order
+        if t not in idf:
+            continue
+        tf = F.col(f"_tf{i}")
+        score = score + F.lit(idf[t]) * (
+            (tf * F.lit(k1 + 1.0))
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
+            )
+        )
+        matched = matched | (tf > 0)
+    return proj.filter(matched).select("doc_id", score.alias("score"))
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
@@ -97,6 +178,14 @@ def bm25_scores(
     bm25 = bm25 or BM25Config()
     spark = docs.sparkSession
     terms = sorted(set(query_terms))
+    if tf_df is None and lens_df is None and 0 < len(terms) <= 64:
+        # single-pass path for ad-hoc queries: per-term tf as JVM column
+        # expressions — no explode, no corpus-wide (doc, term) shuffle,
+        # and the corpus is tokenized twice (stats job + scoring job)
+        # instead of four times.  Falls through to the relational path
+        # when signatures are precomputed (batch amortization) or the
+        # term list is large (per-term columns stop paying off).
+        return _bm25_scores_onepass(docs, terms, bm25, text_col, doc_col)
     if tf_df is None:
         tf_df = doc_term_tf(docs, text_col, doc_col)
     if lens_df is None:
