@@ -9,9 +9,12 @@ the lookup semantics:
   * key width: long (current) vs int — the two-band combo key is <= ~20
     bits, so int halves the raw bytes of the ONLY non-RLE column.
 
-The reader (operators/build.py:load_simprint_bands2) normalizes key to
-long on read, so an int-keyed table is drop-in compatible (no format
-bump).
+NOTE (round-6 correction, was an ADVICE item): the reader does NOT cast
+key on read — switching the persisted key width is a table-layout change
+and requires a FORMAT_VERSION bump plus a full rebuild, exactly like the
+format-5 slim-schema change (hash limbs dropped from this table).  The
+int-key variant below prices the bytes only; do not ship it without the
+version bump.
 
 Usage: python BENCH/bands2_bench.py [pages.parquet] [workdir] [cores]
 Prints one JSON line per variant: {variant, secs(min of 2), bytes}.

@@ -70,7 +70,14 @@ import os
 # ~zero cache hits — it dominated derived stage-A CPU).  Stored data_sh
 # values differ from version 3, so units and unit-band tables must not
 # be mixed across the boundary.
-FORMAT_VERSION = 4
+# 5 = the combo2 band table (simprint_bands2) stores only
+# (part, band, key, doc_id, seg_idx); the 128-bit hash limbs are joined
+# back from the simprints table at lookup time (candidates are k-row
+# scale).  Hash semantics are unchanged, but a version-4 index upserted
+# by a version-5 writer would leave part dirs with MIXED combo2 schemas
+# (the inline simhash/sh_lo columns surfacing as nulls), silently
+# breaking the hamming verify — hence the bump.
+FORMAT_VERSION = 5
 
 
 def check_format(meta: dict, where: str) -> None:

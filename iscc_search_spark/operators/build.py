@@ -425,6 +425,14 @@ def build_derived(
             for t in tables:
                 shutil.rmtree(os.path.join(t, f"part={p}"), ignore_errors=True)
 
+    # The five table writes below share nothing but the docs scan — they
+    # are submitted from a small thread pool (guide-§2.6 overlap) so the
+    # tail of one write's stage back-fills cores for the next instead of
+    # serializing five jobs.  FIFO scheduling keeps the earlier job's
+    # tasks first; the pool is joined (and any failure re-raised) before
+    # returning.
+    write_jobs = []
+
     units = docs.select(
         "part",
         "doc_id",
@@ -432,12 +440,17 @@ def build_derived(
         "data_sh",
         "instance",
     )
-    (
-        units.repartitionByRange(n, "part")
-        .sortWithinPartitions("part", "content_sh")
-        .write.mode("overwrite")
-        .partitionBy("part")
-        .parquet(cat.units)
+    write_jobs.append(
+        (
+            "derived: units",
+            lambda: (
+                units.repartitionByRange(n, "part")
+                .sortWithinPartitions("part", "content_sh")
+                .write.mode("overwrite")
+                .partitionBy("part")
+                .parquet(cat.units)
+            ),
+        )
     )
     sp = docs.select("part", "doc_id", F.explode("segs").alias("s")).select(
         "part",
@@ -449,12 +462,17 @@ def build_derived(
         F.col("s.simhash").alias("simhash"),
         F.col("s.sh_lo").alias("sh_lo"),
     )
-    (
-        sp.repartitionByRange(n, "part")
-        .sortWithinPartitions("part", "simhash")
-        .write.mode("overwrite")
-        .partitionBy("part")
-        .parquet(cat.simprints)
+    write_jobs.append(
+        (
+            "derived: simprints",
+            lambda: (
+                sp.repartitionByRange(n, "part")
+                .sortWithinPartitions("part", "simhash")
+                .write.mode("overwrite")
+                .partitionBy("part")
+                .parquet(cat.simprints)
+            ),
+        )
     )
 
     # LSH band-key LOOKUP tables: candidate fetch for the similarity
@@ -496,12 +514,17 @@ def build_derived(
     ub = docs.select(
         "part", "doc_id", F.explode(F.array(*entries)).alias("e")
     ).select("part", "doc_id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
-    (
-        ub.repartitionByRange(n, "part")
-        .sortWithinPartitions("part", "band", "key")
-        .write.mode("overwrite")
-        .partitionBy("part")
-        .parquet(cat.unit_bands)
+    write_jobs.append(
+        (
+            "derived: unit_bands",
+            lambda: (
+                ub.repartitionByRange(n, "part")
+                .sortWithinPartitions("part", "band", "key")
+                .write.mode("overwrite")
+                .partitionBy("part")
+                .parquet(cat.unit_bands)
+            ),
+        )
     )
 
     # segment simprints are 128-bit: band keys slice the (hi, lo) limb
@@ -523,12 +546,17 @@ def build_derived(
         "part", "doc_id", "seg_idx", "simhash", "sh_lo",
         F.col("e.band").alias("band"), F.col("e.key").alias("key"),
     )
-    (
-        sb.repartitionByRange(n, "part")
-        .sortWithinPartitions("part", "band", "key")
-        .write.mode("overwrite")
-        .partitionBy("part")
-        .parquet(cat.simprint_bands)
+    write_jobs.append(
+        (
+            "derived: simprint_bands",
+            lambda: (
+                sb.repartitionByRange(n, "part")
+                .sortWithinPartitions("part", "band", "key")
+                .write.mode("overwrite")
+                .partitionBy("part")
+                .parquet(cat.simprint_bands)
+            ),
+        )
     )
 
     # combo2 band table: C(14, 2) two-band concatenated keys (~18 bits)
@@ -567,18 +595,44 @@ def build_derived(
             F.shiftleft(F.col(f"_b{i}"), widths2[j][1]).bitwiseOR(F.col(f"_b{j}"))
             for (i, j) in _band_combos(SEG_BANDS2, 2)
         ]
+        # format_version 5: the 91x-repeated rows carry ONLY the lookup
+        # key and the (doc_id, seg_idx) pointer — the two 64-bit hash
+        # limbs (the bulk of the old volume; doc/seg columns RLE away)
+        # are joined back from the simprints table at query time, where
+        # candidates are k-row scale (load_simprint_bands2 /
+        # granular_topk).  This is the write-volume fix for the one
+        # sub-0.8 scaling leg.
         sb2 = base2.select(
-            "part", "doc_id", "seg_idx", "simhash", "sh_lo",
+            "part", "doc_id", "seg_idx",
             F.posexplode(F.array(*combo_keys)).alias("band", "key"),
         ).select(
-            "part", "doc_id", "seg_idx", "simhash", "sh_lo",
+            "part", "doc_id", "seg_idx",
             F.col("band").cast("int").alias("band"), "key",
         )
-        (
-            sb2.write.mode("overwrite")
-            .partitionBy("part")
-            .parquet(cat.simprint_bands2)
+        write_jobs.append(
+            (
+                "derived: simprint_bands2",
+                lambda: (
+                    sb2.write.mode("overwrite")
+                    .partitionBy("part")
+                    .parquet(cat.simprint_bands2)
+                ),
+            )
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _run(job):
+        desc, fn = job
+        spark.sparkContext.setJobDescription(desc)
+        try:
+            fn()
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(_run, j) for j in write_jobs]:
+            f.result()
 
 
 def load_units(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -616,13 +670,23 @@ def load_simprint_bands(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def load_simprint_bands2(spark: SparkSession, index_dir: str) -> DataFrame:
-    """(doc_id, seg_idx, simhash, sh_lo, band, key) combo2 lookup rows
-    (C(14,2) = 91 two-band ~18-bit keys over the 128-bit simprint; exact
-    recall for max_hamming <= 12)."""
+    """(doc_id, seg_idx, band, key) combo2 lookup rows (C(14,2) = 91
+    two-band ~18-bit keys over the 128-bit simprint; exact recall for
+    max_hamming <= 12).
+
+    format_version 5 stores no hash limbs in this table; the returned
+    DataFrame carries the simprints source on ``_iscc_simprints`` so
+    granular_topk can join simhash/sh_lo back AFTER the keyed candidate
+    prune (k-row scale), keeping the 91x write volume minimal."""
     cat = IndexCatalog(index_dir)
-    return spark.read.parquet(cat.simprint_bands2).select(
-        "doc_id", "seg_idx", "simhash", "sh_lo", "band", "key"
+    check_format(cat.read_meta(), "load_simprint_bands2")
+    df = spark.read.parquet(cat.simprint_bands2).select(
+        "doc_id", "seg_idx", "band", "key"
     )
+    df._iscc_simprints = load_simprints(spark, index_dir).select(
+        "doc_id", "seg_idx", "simhash", "sh_lo"
+    )
+    return df
 
 
 # --- stage B: derived postings ------------------------------------------------
@@ -1374,12 +1438,23 @@ def build_index(
         spark, pages, cat, cfg, n_parts, group_size, resume, run_id,
         derived=derived,
     )
-    res = build_postings(spark, cat, cfg, n_shards, run_id)
-    if derived:
-        # resume fast path: only newly-built parts need their derived
-        # partitions refreshed once the tables exist
-        if skipped and cat.exists("units"):
+    if derived and not (skipped and cat.exists("units")):
+        # stage B (postings) and the full stage-C rebuild share nothing
+        # but the stage-A docs table — overlap them (guide-§2.6) so C's
+        # writes back-fill cores left idle by B's shuffle tail.  Both
+        # paths use the static committer, so the session-level
+        # partitionOverwriteMode setting cannot race.  The incremental
+        # refresh below stays serial (it flips the conf to dynamic).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(build_derived, spark, cat, None, combo2)
+            res = build_postings(spark, cat, cfg, n_shards, run_id)
+            fut.result()
+    else:
+        res = build_postings(spark, cat, cfg, n_shards, run_id)
+        if derived:
+            # resume fast path: only newly-built parts need their derived
+            # partitions refreshed once the tables exist
             build_derived(spark, cat, parts=built, combo2=combo2)
-        else:
-            build_derived(spark, cat, combo2=combo2)
     return BuildResult(res.n_docs, res.avgdl, built, skipped, time.time() - t0)

@@ -392,6 +392,25 @@ def granular_topk(
             q_rows, "band int, key long, q_seg int, q_hi long, q_lo long"
         )
         cands = bands2.join(F.broadcast(q), ["band", "key"])
+        if "simhash" not in bands2.columns:
+            # format_version-5 slim table: the hash limbs live only in
+            # the simprints table (attached by load_simprint_bands2).
+            # Dedup the candidate (doc, seg, q_seg) triples FIRST —
+            # hamming is a pure function of the triple, so deduping
+            # before the verify is result-identical — then join the
+            # limbs back at k-row scale.
+            sp_src = getattr(bands2, "_iscc_simprints", None)
+            if sp_src is None:
+                raise ValueError(
+                    "bands2 has no simhash/sh_lo columns and no attached "
+                    "_iscc_simprints source; load it via "
+                    "load_simprint_bands2"
+                )
+            cands = (
+                cands.select("doc_id", "seg_idx", "q_seg", "q_hi", "q_lo")
+                .dropDuplicates(["doc_id", "seg_idx", "q_seg"])
+                .join(sp_src, ["doc_id", "seg_idx"])
+            )
     elif bands is not None:
         widths = band_widths(bands_n, SIMPRINT_BITS)
         q_rows = []
