@@ -1379,11 +1379,44 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(score, 6) AS score, n_matched
         li = li.withColumn(
             "disc_price", F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
         )
-        return li.groupBy("l_returnflag", "l_linestatus").agg(
-            _ordered_sum_col(F.col("l_quantity")).alias("sum_qty"),
-            _ordered_sum_col(F.col("l_extendedprice")).alias("sum_base_price"),
-            _ordered_sum_col(F.col("disc_price")).alias("sum_disc_price"),
-            F.count("*").alias("count_order"),
+
+        # ordered float64 sums per group in numpy: np.add.accumulate is
+        # the same strictly-sequential left-to-right IEEE fold as the
+        # array_sort + aggregate expression (and DuckDB's list_reduce),
+        # ~bit-identical by construction — but vectorized sort + C-loop
+        # instead of an interpreted per-element lambda over millions of
+        # collected values
+        def _q1_agg(pdf):
+            import numpy as np
+            import pandas as pd
+
+            def osum(col):
+                a = np.sort(pdf[col].to_numpy(np.float64))
+                return float(np.add.accumulate(np.concatenate(([0.0], a)))[-1])
+
+            return pd.DataFrame(
+                {
+                    "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                    "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+                    "sum_qty": [osum("l_quantity")],
+                    "sum_base_price": [osum("l_extendedprice")],
+                    "sum_disc_price": [osum("disc_price")],
+                    "count_order": [len(pdf)],
+                }
+            )
+
+        return (
+            li.select(
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "disc_price",
+            )
+            .groupBy("l_returnflag", "l_linestatus")
+            .applyInPandas(
+                _q1_agg,
+                "l_returnflag string, l_linestatus string, sum_qty double, "
+                "sum_base_price double, sum_disc_price double, "
+                "count_order long",
+            )
         )
 
     queries["a1_tpch_q1_pricing"] = tpch_q1
