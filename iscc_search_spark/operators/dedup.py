@@ -292,22 +292,44 @@ def jaccard_verify(
         .distinct()
     )
     # One row per candidate doc carrying its DISTINCT shingle set as an
-    # array (no explode): the intersection is a JVM array_intersect per
-    # pair.  The previous shape (explode + join pairs on doc1, then on
-    # (doc2, s), then two size joins) shuffled per-shingle rows and
-    # concentrated a hot doc's whole fanout (pairs x shingles) in one
-    # task — the measured straggler.  Here every join key (doc1 / doc2)
-    # is UNIQUE on the doc_sets side, so join output == |pairs| rows and
-    # the per-pair work is a bounded set intersection.
+    # array of DICTIONARY-ENCODED int64 ids: the intersection is a JVM
+    # array_intersect per pair over longs.  The previous shapes were (a)
+    # explode + join pairs on doc1, then on (doc2, s), then two size
+    # joins — shuffled per-shingle rows and concentrated a hot doc's
+    # pairs x shingles fanout in one task; (b) string-array
+    # array_intersect per pair — ~20 us/pair (a hash set of UTF8Strings
+    # built per call, measured 39 s CPU at ~2M candidate pairs).  The
+    # dictionary is a bijection, so intersection/size counts — and hence
+    # the jaccard doubles — are identical; the id assignment itself
+    # (monotonically_increasing_id) is run-dependent, which is why
+    # doc_sets is checkpointed: both join references must read the SAME
+    # materialized ids.  Every join key (doc1 / doc2) is unique on the
+    # doc_sets side, so join output == |pairs| rows.
     # (no broadcast hint: the candidate set can be corpus-scale in a real
     # dedup run — AQE picks broadcast when it is actually small)
-    doc_sets = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-        .join(cand_docs, "doc_id", "left_semi")
+    from iscc_search_spark.session import spread_small
+
+    flat = (
+        spread_small(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            .join(cand_docs, "doc_id", "left_semi")
+        )
         .select(
             "doc_id",
-            F.array_distinct(_shingles_expr(text_col, ngram)).alias("ss"),
+            F.explode(
+                F.array_distinct(_shingles_expr(text_col, ngram))
+            ).alias("s"),
         )
+    )
+    sdict = (
+        flat.select("s").distinct()
+        .withColumn("sid", F.monotonically_increasing_id())
+    )
+    doc_sets = (
+        flat.join(sdict, "s")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sid").alias("ss"))
+        .localCheckpoint(eager=False)
     )
     out = (
         pairs.join(
