@@ -116,6 +116,7 @@ def _bm25_scores_onepass(
         docs.select(F.col(doc_col).alias("doc_id"), tokens_expr(text_col).alias("_toks"))
     ).localCheckpoint(eager=False)
     toks = F.col("_toks")
+    k1, b = bm25.k1, bm25.b
     proj = base.select(
         "doc_id",
         F.size(toks).cast("long").alias("doc_len"),
@@ -146,7 +147,19 @@ def _bm25_scores_onepass(
     if not term_df:
         return empty
     idf = query_idf(term_df, n_docs)
-    k1, b = bm25.k1, bm25.b
+    # The per-doc length normalization k1*(1-b + b*dl/avgdl) is factored
+    # into its own column: referenced once per term, inlining it made the
+    # score projection's generated method large enough for multi-term
+    # queries that HotSpot refused to JIT it (the whole stage ran
+    # interpreted, ~577 us/row at 5 terms vs ~30 us at 2).  The factored
+    # subexpression computes the identical float64 value, so scores stay
+    # bit-exact.  CollapseProject keeps a multiply-referenced non-cheap
+    # alias materialized, so the split survives optimization.
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
+    )
+    proj = proj.select("doc_id", "doc_len", norm.alias("_norm"),
+                       *[f"_tf{i}" for i in range(len(terms))])
     score = F.lit(0.0)
     matched = F.lit(False)
     for i, t in enumerate(terms):  # ascending — the frozen fold order
@@ -154,12 +167,7 @@ def _bm25_scores_onepass(
             continue
         tf = F.col(f"_tf{i}")
         score = score + F.lit(idf[t]) * (
-            (tf * F.lit(k1 + 1.0))
-            / (
-                tf
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
-            )
+            (tf * F.lit(k1 + 1.0)) / (tf + F.col("_norm"))
         )
         matched = matched | (tf > 0)
     return proj.filter(matched).select("doc_id", score.alias("score"))
