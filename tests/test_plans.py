@@ -110,10 +110,13 @@ def test_tf_agg_has_mapside_combine(spark):
     assert "partial_count" in p and "Exchange" in p
 
 
-def test_band_lookup_filter_is_pushed(spark, tmp_path):
-    """The unit-band candidate lookup reaches the parquet scan as pushed
-    (band, key) conjunctions — a keyed row-group-pruned read, not a
-    post-scan filter."""
+def test_band_lookup_is_broadcast_keyed_join(spark, tmp_path):
+    """The unit-band candidate lookup is a BROADCAST hash join on
+    (band, key) with the ~35 query keys (round 6: the 35-clause literal
+    OR predicate compiled into a codegen method too large for the JIT —
+    the whole first call ran interpreted; the join has compact generated
+    code and the identical candidate set), feeding a semi join on
+    doc_id."""
     from iscc_search_spark import corpus as corpus_mod
     from iscc_search_spark.config import EngineConfig
     from iscc_search_spark.operators.build import (
@@ -135,8 +138,8 @@ def test_band_lookup_filter_is_pushed(spark, tmp_path):
         None, qid, k=5, units=units, bands=load_unit_bands(spark, d)
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [Or(" in plan or "PushedFilters: [And(" in plan
-    assert "EqualTo(band,0)" in plan
+    assert "BroadcastHashJoin [band#" in plan
+    assert "LeftSemi" in plan
 
 
 def test_lsh_band_generation_is_one_scan(spark):
