@@ -11,6 +11,7 @@ exact DuckDB-SQL twins for oracle verification.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,34 +36,53 @@ def quality_features(
     """(doc_id, n_tokens, n_chars, uniq_ratio, stopword_ratio, avg_token_len,
     alnum_ratio, quality_score) — deterministic lexical quality features.
 
-    The token array is materialized once behind an exchange (spread_small)
-    — inlined, the split/regex re-ran for every feature column — and the
-    two interpreted higher-order functions are replaced by codegen
-    built-ins: total token chars == length(concat_ws('', toks)), and the
-    stopword count == sum over the (distinct) stoplist of per-word tf via
-    size(toks) - size(array_remove(toks, w)).  Integer-identical, so every
-    derived double is bit-identical."""
+    The four token-derived counts (n_tokens, n_stop, token_chars, n_uniq)
+    come from ONE Arrow-batched pass (tokenize_py == tokens_expr by
+    contract; the counts are exact integers, so every derived double is
+    bit-identical to the expression forms).  The expression pipeline this
+    replaces tokenized per feature column and compiled a generated method
+    large enough that every fresh run burned ~93 s of interpreter CPU
+    before JIT caught up; a Python kernel has no such cliff and costs
+    ~25 us/doc.  asNondeterministic stops the optimizer duplicating the
+    UDF into its four consumers (guide §4.4); spread_small keeps
+    few-row-group inputs off a handful of skewed scan tasks."""
+    from iscc_search_spark.functions.textnorm import tokenize_py
     from iscc_search_spark.session import spread_small
 
-    base = spread_small(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(text_col),
-            tokens_expr(text_col).alias("_toks"),
-        )
+    stopset = frozenset(STOPWORDS_EN)
+
+    @F.pandas_udf(
+        "n_tokens long, n_stop long, token_chars long, n_uniq long"
     )
-    toks = F.col("_toks")
-    n_tokens = F.size(toks).cast("long")
-    n_stop = sum(
-        (F.size(toks) - F.size(F.array_remove(toks, w)))
-        for w in STOPWORDS_EN
-    ).cast("long")
+    def tok_counts(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in text:
+            toks = tokenize_py(t) if t is not None else []
+            rows.append(
+                (
+                    len(toks),
+                    sum(1 for x in toks if x in stopset),
+                    sum(len(x) for x in toks),
+                    len(set(toks)),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["n_tokens", "n_stop", "token_chars", "n_uniq"]
+        )
+
+    tok_counts = tok_counts.asNondeterministic()
+
+    base = spread_small(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select("doc_id", F.col(text_col), tok_counts(text_col).alias("_tc"))
+    n_tokens = F.col("_tc.n_tokens")
+    n_stop = F.col("_tc.n_stop")
+    token_chars = F.col("_tc.token_chars")
+    n_uniq = F.col("_tc.n_uniq")
     n_chars = F.length(text_col).cast("long")
     n_alnum = (
         n_chars - F.length(F.regexp_replace(F.lower(F.col(text_col)), "[0-9a-z]", ""))
     ).cast("long")
-    token_chars = F.length(F.concat_ws("", toks)).cast("long")
-    n_uniq = F.size(F.array_distinct(toks)).cast("long")
     out = base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),

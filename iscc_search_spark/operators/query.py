@@ -117,6 +117,13 @@ def _bm25_scores_onepass(
     ).localCheckpoint(eager=False)
     toks = F.col("_toks")
     k1, b = bm25.k1, bm25.b
+    # Checkpoint the (doc_id, doc_len, tf...) longs too: the per-term
+    # array expressions then run exactly ONCE (during materialization)
+    # and both downstream jobs (stats, scoring) see plain long columns
+    # whose generated code is trivially JIT-friendly.  Without this the
+    # array_remove chains re-ran in the stats AND scoring stages, each
+    # time in a freshly generated (interpreter-cold) class — the
+    # dominant cost of every first execution.
     proj = base.select(
         "doc_id",
         F.size(toks).cast("long").alias("doc_len"),
@@ -126,7 +133,7 @@ def _bm25_scores_onepass(
             .alias(f"_tf{i}")
             for i, t in enumerate(terms)
         ],
-    )
+    ).localCheckpoint(eager=False)
     stats = proj.agg(
         F.count("*").alias("n"),
         F.sum("doc_len").alias("total"),
