@@ -146,6 +146,15 @@ def test_neardup_gemm_kernel_brute_force(spark):
             if hm <= 7:
                 expect[(rows[i][0], rows[j][0])] = (hm, 1.0 - hm / 64.0)
     assert got == expect
+    # mega-bucket split path: forcing a tiny split_threshold must not
+    # change the pair set (sub-group pair coverage is lossless)
+    got_split = {
+        (r["doc1"], r["doc2"]): (r["hamming"], r["score"])
+        for r in simhash_neardup_pairs(
+            df, max_hamming=7, split_threshold=8
+        ).collect()
+    }
+    assert got_split == expect
 
 
 def test_quality_stopword_counts_match_hof(docs):
