@@ -18,8 +18,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from iscc_search_spark.functions.simhash import hamming_expr, neardup_score_expr
-
 _BITPOS64 = np.arange(64, dtype=np.uint64)
 
 
